@@ -1,0 +1,67 @@
+"""Minimal functional MLP building blocks.
+
+Plain pytree parameters (dicts of arrays) instead of a module framework:
+the ensemble is a vmapped leading axis over these pytrees, and Pallas
+kernels can consume the raw weight matrices directly.
+
+Replaces the reference's tcnn ``FullyFusedMLP`` heads
+(``perception/models/radiance_fields/ngp.py:123-169``). On TPU the fusion
+job belongs to XLA: these are [N, in]×[in, h] matmuls that land on the MXU;
+a dedicated Pallas fused-MLP kernel is only worthwhile once the hash-encode
+gather dominates (see ops/pallas).
+
+tcnn pads hidden widths to multiples of 16 and runs fp16; here widths are
+chosen MXU-friendly (128/64 — already multiples of 8/128 lanes) and the
+compute dtype is a knob (bf16 matmuls with f32 accumulation by default).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def init_mlp(
+    key: jax.Array,
+    sizes: Sequence[int],
+    dtype=jnp.float32,
+) -> dict:
+    """He-uniform init, like tcnn's default for ReLU nets."""
+    params = {}
+    keys = jax.random.split(key, len(sizes) - 1)
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        bound = jnp.sqrt(6.0 / fan_in)
+        params[f"w{i}"] = jax.random.uniform(
+            keys[i], (fan_in, fan_out), minval=-bound, maxval=bound, dtype=dtype
+        )
+        params[f"b{i}"] = jnp.zeros((fan_out,), dtype=dtype)
+    return params
+
+
+def apply_mlp(
+    params: dict,
+    x: jnp.ndarray,
+    activation=jax.nn.relu,
+    output_activation=None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Apply an MLP; hidden activations ReLU, linear output by default
+    (tcnn ``output_activation: None``)."""
+    n_layers = len(params) // 2
+    orig_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    for i in range(n_layers):
+        w, b = params[f"w{i}"], params[f"b{i}"]
+        if compute_dtype is not None:
+            w, b = w.astype(compute_dtype), b.astype(compute_dtype)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        if i < n_layers - 1:
+            x = activation(x)
+        elif output_activation is not None:
+            x = output_activation(x)
+        if compute_dtype is not None and i < n_layers - 1:
+            x = x.astype(compute_dtype)
+    return x.astype(orig_dtype)

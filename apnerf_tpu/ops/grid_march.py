@@ -1,0 +1,181 @@
+"""Occupancy-grid ray marching with static shapes.
+
+TPU-native replacement for the reference's CUDA DDA traversal
+(``perception/nerfacc/nerfacc/cuda/csrc/grid.cu:68-282`` — one thread per
+ray, Amanatides–Woo voxel stepping, variable-length packed output) and its
+Python wrapper ``traverse_grids`` (``nerfacc/grid.py:93-192``).
+
+The XLA-friendly formulation:
+
+1. A *candidate lattice* of K sample intervals per ray follows the exact
+   cone-angle step rule of the reference (``grid.cu``:
+   ``dt = clamp(t * cone_angle, dt_min, inf)``) in closed form: steps are
+   ``dt_min`` (linear phase) while ``t < dt_min/cone`` and geometric
+   (``t_{k+1} = t_k (1+cone)``) after. The lattice is shared by all rays
+   and computed once per (near, dt, cone) configuration.
+2. Each candidate midpoint is gathered from the binary occupancy grid —
+   a dense [R, K] lookup instead of per-thread DDA.
+3. Candidates are *compacted* to the first ``max_samples`` occupied
+   entries per ray via a cumsum + scatter, producing padded
+   ``[R, max_samples]`` (t_starts, t_ends, valid) buffers — the static-
+   shape analogue of nerfacc's packed (ray_indices, t_starts, t_ends).
+
+Everything is jit/vmap-compatible; no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RaySegments(NamedTuple):
+    """Padded per-ray sample intervals (static-shape RaySamples analogue of
+    ``nerfacc/data_specs.py:12-181``)."""
+
+    t_starts: jnp.ndarray  # [R, S]
+    t_ends: jnp.ndarray  # [R, S]
+    valid: jnp.ndarray  # [R, S] bool
+
+
+def ray_aabb_intersect(
+    rays_o: jnp.ndarray,  # [R, 3]
+    rays_d: jnp.ndarray,  # [R, 3]
+    aabb: jnp.ndarray,  # [6]
+    near_plane: float = 0.0,
+    far_plane: float = 1e10,
+    miss_value: float = 1e10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab-test ray/AABB intersection → (t_min, t_max), each [R].
+
+    Behavior parity with ``nerfacc/grid.py:13-51`` (CUDA) and the pure
+    reference ``_ray_aabb_intersect`` (``grid.py:54-90``): results clamped
+    to [near_plane, far_plane], misses get ``miss_value``.
+    """
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) > 1e-10, rays_d, 1e-10)
+    t0 = (aabb[:3] - rays_o) * inv_d
+    t1 = (aabb[3:] - rays_o) * inv_d
+    t_min = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_max = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_min = jnp.clip(t_min, near_plane, far_plane)
+    t_max = jnp.clip(t_max, near_plane, far_plane)
+    hit = t_min < t_max
+    t_min = jnp.where(hit, t_min, miss_value)
+    t_max = jnp.where(hit, t_max, miss_value)
+    return t_min, t_max
+
+
+def candidate_lattice(
+    n_candidates: int,
+    near: float,
+    dt_min: float,
+    cone_angle: float = 0.0,
+) -> np.ndarray:
+    """The shared marching lattice t_0..t_K (host-side, static).
+
+    Exact closed form of the reference's step recurrence
+    ``t += clamp(t*cone, dt_min, inf)`` (``grid.cu`` ``setup_traversal`` /
+    sampling loop): linear spacing until ``t >= dt_min/cone``, geometric
+    growth after. Returns [K+1] interval boundaries starting at ``near``.
+    """
+    k = np.arange(n_candidates + 1, dtype=np.float64)
+    if cone_angle <= 0.0:
+        t = near + k * dt_min
+    else:
+        c = dt_min / cone_angle
+        # linear phase: t_k = near + k*dt_min while t_k < c
+        k0 = max(0.0, np.ceil((c - near) / dt_min))
+        t_lin = near + k * dt_min
+        t_k0 = near + k0 * dt_min
+        t_geo = t_k0 * (1.0 + cone_angle) ** (k - k0)
+        t = np.where(k < k0, t_lin, t_geo)
+    return t.astype(np.float32)
+
+
+def compact_mask(
+    mask: jnp.ndarray,  # [R, K] bool
+    max_samples: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Indices of the first ``max_samples`` True entries per row.
+
+    Returns (idx [R, S] int32, valid [R, S] bool). This is the static-shape
+    stream-compaction that replaces the CUDA two-pass count-then-fill
+    allocation in ``grid.cu:405-470``.
+    """
+    R, K = mask.shape
+    csum = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # [R, K]
+    slot = csum - 1
+    ok = mask & (slot < max_samples)
+    slot_c = jnp.where(ok, slot, max_samples)  # overflow slot S is scratch
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, K), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    out = jnp.zeros((R, max_samples + 1), dtype=jnp.int32)
+    out = out.at[rows, slot_c].set(cols, mode="drop")
+    idx = out[:, :max_samples]
+    n_kept = jnp.minimum(csum[:, -1], max_samples)  # [R]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, max_samples), 1) < n_kept[:, None]
+    )
+    return idx, valid
+
+
+def occupancy_lookup(
+    binaries: jnp.ndarray,  # [Gx, Gy, Gz] bool (single level)
+    aabb: jnp.ndarray,  # [6]
+    positions: jnp.ndarray,  # [..., 3]
+) -> jnp.ndarray:
+    """Gather the binary occupancy at world positions → [...] bool.
+
+    Points outside the aabb read as unoccupied (the reference's traversal
+    never emits samples outside the grid).
+    """
+    res = jnp.array(binaries.shape, dtype=jnp.float32)
+    u = (positions - aabb[:3]) / (aabb[3:] - aabb[:3])
+    inside = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+    ijk = jnp.clip((u * res).astype(jnp.int32), 0, jnp.array(binaries.shape) - 1)
+    occ = binaries[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+    return occ & inside
+
+
+def march_rays(
+    rays_o: jnp.ndarray,  # [R, 3]
+    rays_d: jnp.ndarray,  # [R, 3]
+    binaries: jnp.ndarray,  # [Gx, Gy, Gz] bool
+    aabb: jnp.ndarray,  # [6]
+    lattice: jnp.ndarray,  # [K+1] from candidate_lattice
+    max_samples: int,
+    near_planes: jnp.ndarray = None,  # [R] optional per-ray near override
+    far_plane: float = 1e10,
+) -> RaySegments:
+    """Occupancy-grid marching: padded (t_starts, t_ends, valid).
+
+    Functional equivalent of ``OccGridEstimator.sampling``'s traversal stage
+    (``nerfacc/estimators/occ_grid.py:81-238`` → ``traverse_grids``): the
+    lattice starts at the sampling near plane; candidates outside
+    [t_aabb_min, min(t_aabb_max, far)] or in empty voxels are discarded;
+    survivors are compacted to ``max_samples`` per ray.
+    """
+    t_min, t_max = ray_aabb_intersect(rays_o, rays_d, aabb, far_plane=far_plane)
+    t0 = lattice[:-1][None, :]  # [1, K]
+    t1 = lattice[1:][None, :]
+    t_mid = 0.5 * (t0 + t1)
+    if near_planes is not None:
+        lo = jnp.maximum(t_min, near_planes)[:, None]
+    else:
+        lo = t_min[:, None]
+    in_range = (t_mid >= lo) & (t_mid <= t_max[:, None])  # [R, K]
+    pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]  # [R, K, 3]
+    occ = occupancy_lookup(binaries, aabb, pos)
+    mask = in_range & occ
+    idx, valid = compact_mask(mask, max_samples)
+    t_starts = jnp.take_along_axis(jnp.broadcast_to(t0, mask.shape), idx, axis=1)
+    t_ends = jnp.take_along_axis(jnp.broadcast_to(t1, mask.shape), idx, axis=1)
+    zero = jnp.zeros_like(t_starts)
+    return RaySegments(
+        t_starts=jnp.where(valid, t_starts, zero),
+        t_ends=jnp.where(valid, t_ends, zero),
+        valid=valid,
+    )

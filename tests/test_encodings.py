@@ -1,0 +1,118 @@
+"""Hash-grid, SH, sinusoidal encoding, contraction tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apnerf_tpu.ops import hashgrid
+from apnerf_tpu.ops.contraction import contract_to_unisphere
+from apnerf_tpu.ops.sh import sh_encode_deg4
+from apnerf_tpu.models.mlp import sinusoidal_encode
+
+
+def test_hashgrid_shapes_and_determinism():
+    cfg = hashgrid.HashGridConfig(
+        n_levels=4, n_features=2, log2_table_size=10, base_resolution=4,
+        max_resolution=32,
+    )
+    table = hashgrid.init_hash_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (37, 3))
+    out = hashgrid.hash_encode(table, x, cfg)
+    assert out.shape == (37, cfg.out_dim)
+    out2 = hashgrid.hash_encode(table, x, cfg)
+    np.testing.assert_array_equal(np.array(out), np.array(out2))
+
+
+def test_hashgrid_trilinear_interpolation_exact():
+    """At a level with dense indexing, the encoding must reproduce exact
+    trilinear interpolation of the table values."""
+    cfg = hashgrid.HashGridConfig(
+        n_levels=1, n_features=1, log2_table_size=12, base_resolution=4,
+        max_resolution=4,
+    )
+    # dense indexing: (4+1)^3 = 125 <= 4096
+    table = jnp.zeros((1, cfg.table_size, 1))
+    # set value 1.0 at vertex (1, 2, 3): index = 1 + 2*5 + 3*25 = 86
+    table = table.at[0, 86, 0].set(1.0)
+
+    # query exactly at the vertex: x*res = (1,2,3) → x = (0.25, 0.5, 0.75)
+    x = jnp.asarray([[0.25, 0.5, 0.75]])
+    out = hashgrid.hash_encode(table, x, cfg)
+    np.testing.assert_allclose(np.array(out), 1.0, rtol=1e-6)
+
+    # halfway to the next vertex in x: weight 0.5
+    x = jnp.asarray([[0.25 + 0.125, 0.5, 0.75]])
+    out = hashgrid.hash_encode(table, x, cfg)
+    np.testing.assert_allclose(np.array(out), 0.5, rtol=1e-6)
+
+
+def test_hashgrid_gradient_flows_to_table():
+    cfg = hashgrid.HashGridConfig(
+        n_levels=2, n_features=2, log2_table_size=8, base_resolution=4,
+        max_resolution=8,
+    )
+    table = hashgrid.init_hash_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+
+    def loss(t):
+        return jnp.sum(hashgrid.hash_encode(t, x, cfg) ** 2)
+
+    g = jax.grad(loss)(table)
+    assert g.shape == table.shape
+    assert np.isfinite(np.array(g)).all()
+    assert np.abs(np.array(g)).sum() > 0
+
+
+def test_hashgrid_resolutions_match_reference_formula():
+    cfg = hashgrid.HashGridConfig()  # 16 levels, 16 → 4096
+    res = cfg.resolutions
+    assert res[0] == 16 and res[-1] == 4096
+    # geometric growth factor b = exp((ln 4096 - ln 16)/15) (ngp.py:103-105)
+    b = np.exp((np.log(4096) - np.log(16)) / 15)
+    np.testing.assert_allclose(cfg.per_level_scale, b, rtol=1e-9)
+
+
+def test_sh_encode_properties():
+    d = jax.random.normal(jax.random.PRNGKey(0), (100, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out = sh_encode_deg4(d)
+    assert out.shape == (100, 16)
+    # l=0 constant
+    np.testing.assert_allclose(np.array(out[:, 0]), 0.2820948, rtol=1e-5)
+    # orthogonality of the basis under uniform sphere sampling:
+    # E[Y_i Y_j] = delta_ij / (4*pi)
+    dd = jax.random.normal(jax.random.PRNGKey(1), (200000, 3))
+    dd = dd / jnp.linalg.norm(dd, axis=-1, keepdims=True)
+    Y = np.array(sh_encode_deg4(dd))
+    gram = Y.T @ Y / Y.shape[0] * (4 * np.pi)
+    np.testing.assert_allclose(gram, np.eye(16), atol=0.05)
+
+
+def test_sinusoidal_encode():
+    x = jnp.asarray([[0.5, -0.25, 1.0]])
+    enc = sinusoidal_encode(x, 0, 10, True)
+    assert enc.shape == (1, 3 * (1 + 20))
+    np.testing.assert_allclose(np.array(enc[0, :3]), np.array(x[0]), rtol=1e-6)
+    # first sin block at scale 2^0 = sin(x)
+    np.testing.assert_allclose(
+        np.array(enc[0, 3:6]), np.sin(np.array(x[0])), rtol=1e-5
+    )
+
+
+def test_contract_to_unisphere():
+    aabb = jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    # center maps to 0.5
+    np.testing.assert_allclose(
+        np.array(contract_to_unisphere(jnp.zeros((1, 3)), aabb)), 0.5, atol=1e-6
+    )
+    # points inside |x|<=1 map affinely into [0.25, 0.75]
+    x_in = jnp.asarray([[0.5, 0.0, 0.0]])
+    np.testing.assert_allclose(
+        np.array(contract_to_unisphere(x_in, aabb)[0]),
+        [0.5 / 4 + 0.5, 0.5, 0.5],
+        atol=1e-6,
+    )
+    # far away points approach radius 2 → within [0, 1]
+    x_far = jnp.asarray([[100.0, 100.0, 100.0]])
+    out = np.array(contract_to_unisphere(x_far, aabb))
+    assert np.all(out >= 0.0) and np.all(out <= 1.0)
