@@ -1,0 +1,111 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apnerf_tpu.parallel.mesh import (
+    batch_sharding,
+    ensemble_sharding,
+    make_mesh,
+    shard_ensemble_state,
+)
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_8
+def test_make_mesh_shapes():
+    mesh = make_mesh(n_ens=2)
+    assert dict(mesh.shape) == {"ens": 2, "data": 4}
+    mesh1 = make_mesh(n_ens=3)  # 8 % 3 != 0 → collapse ens
+    assert dict(mesh1.shape) == {"ens": 1, "data": 8}
+
+
+@requires_8
+def test_sharded_train_step_matches_single_device():
+    """The sharded step must produce the same losses as the unsharded one
+    (same RNG, same data) — sharding is layout, not math."""
+    import __graft_entry__ as g
+    from apnerf_tpu.data.dataset import RayDataset
+    from apnerf_tpu.parallel.sharding import (
+        make_sharded_train_step,
+        place_training,
+    )
+    from apnerf_tpu.train.step import init_ensemble, make_train_step
+
+    cfg = g._tiny_cfg(n_ensembles=2)
+    rng = np.random.RandomState(0)
+
+    def build_ds():
+        ds = RayDataset(
+            training=True, num_rays=cfg.num_rays, num_models=cfg.n_ensembles,
+            width=cfg.img_w, height=cfg.img_h, max_images=cfg.max_images,
+            seed=9,
+        )
+        ds.update_data(
+            (rng.rand(3, cfg.img_h, cfg.img_w, 3) * 255).astype(np.uint8),
+            rng.rand(3, cfg.img_h, cfg.img_w).astype(np.float32),
+            rng.randint(0, cfg.num_semantic_classes, (3, cfg.img_h, cfg.img_w)),
+            np.tile(np.eye(4, dtype=np.float32), (3, 1, 1)),
+        )
+        return ds
+
+    ds = build_ds()
+    idx = jnp.asarray([0, 1])
+    key = jax.random.PRNGKey(7)
+    thre = jnp.asarray(1e-3)
+
+    # single-device
+    state0 = init_ensemble(jax.random.PRNGKey(0), cfg)
+    out0 = make_train_step(cfg)(
+        state0, ds.images, ds.depths, ds.semantics, ds.camtoworlds, ds.K,
+        idx, key, thre,
+    )
+
+    # sharded
+    mesh = make_mesh(n_ens=2)
+    state1 = init_ensemble(jax.random.PRNGKey(0), cfg)
+    state1, ds = place_training(state1, ds, mesh)
+    step_fn = make_sharded_train_step(cfg, mesh)
+    with jax.set_mesh(mesh):
+        out1 = step_fn(
+            state1, ds.images, ds.depths, ds.semantics, ds.camtoworlds, ds.K,
+            idx, key, thre,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(out0.loss), np.asarray(out1.loss), rtol=1e-4
+    )
+    # params evolve identically
+    w0 = np.asarray(out0.state.params["mlp_base"]["w0"])
+    w1 = np.asarray(out1.state.params["mlp_base"]["w0"])
+    np.testing.assert_allclose(w0, w1, rtol=1e-4, atol=1e-6)
+
+
+@requires_8
+def test_state_placement():
+    import __graft_entry__ as g
+    from apnerf_tpu.train.step import init_ensemble
+
+    cfg = g._tiny_cfg(n_ensembles=2)
+    mesh = make_mesh(n_ens=2)
+    state = init_ensemble(jax.random.PRNGKey(0), cfg)
+    state = shard_ensemble_state(state, mesh)
+    sh = state.params["mlp_base"]["w0"].sharding
+    assert sh.spec == ensemble_sharding(mesh).spec
+    # each device holds one member's shard only
+    assert (
+        state.params["mlp_base"]["w0"].addressable_shards[0].data.shape[0] == 1
+    )
+
+
+@requires_8
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
