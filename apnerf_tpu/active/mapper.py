@@ -1,0 +1,526 @@
+"""ActiveNeRFMapper — the top-level active-perception loop.
+
+Capability parity with the reference orchestrator
+(``scripts/pipeline.py:91-1274``), re-structured so all hot compute is a
+handful of jitted programs built once in ``__init__``:
+
+  * ``initialization``: 39-pose 360° scan with ±0.2 m uniform jitter
+    (``pipeline.py:245-264``), per-view cost-map fusion (``:272-292``),
+    train + 56-view test datasets (``:294-350``).
+  * ``nerf_training``: the ensemble train loop (``:354-664``) — here one
+    jitted vmapped step per iteration; occ-threshold schedule by phase
+    (``:447-470``); periodic checkpoints (``:616-636``).
+  * ``planning``: candidate-trajectory sampling → predictive-information
+    scoring → fly best → observe → cost-map + dataset update → retrain
+    (``:1025-1224``); stop when max-mean uncertainty stays above 0.05 for
+    5 consecutive steps (``:1216-1224``).
+  * ``pipeline``: init → train → plan → 5x final train → save artifacts
+    (``:1226-1274``) with the reference's on-disk layout (SURVEY.md §5).
+
+Documented fixes vs the reference (SURVEY.md §7 "known quirks"):
+  * The reference's in-training eval blocks are dead code
+    (``step == steps + 1`` never holds, ``pipeline.py:538,638``), leaving
+    ``errors.npy`` empty. Here evaluation actually runs at the end of each
+    ``nerf_training`` call (same cadence the dead code intended).
+  * ``n_ensembles`` members train *in parallel* via vmap, not sequentially.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..data.dataset import RayDataset
+from ..models import ngp
+from ..ops.grid_march import candidate_lattice
+from ..ops.rays import Rays, make_intrinsics, pose_matrix_from_quat
+from ..planning.cost_map import depth_scan_angles, update_cost_map
+from ..planning.traj import sample_traj
+from ..render.renderer import render_rays
+from ..train.schedule import multistep_lr
+from ..train.step import (
+    EnsembleState,
+    init_ensemble,
+    make_ngp_config,
+    make_train_step,
+    reset_opt_state,
+)
+from ..utils.metrics import depth_mse, psnr, semantic_ce
+from .uncertainty import predictive_information
+
+
+def _euler_yzx_yaw(R_m: np.ndarray) -> float:
+    """Yaw (rotation about world y) matching scipy's
+    ``R.from_matrix(R).as_euler("yzx")[0]`` used by the reference
+    (``pipeline.py:276-279``)."""
+    # yzx intrinsic: first angle about y
+    return float(np.arctan2(-R_m[2, 0], R_m[0, 0]))
+
+
+def _yaw_quat_deg(angle_deg: float) -> np.ndarray:
+    a = np.deg2rad(angle_deg) / 2
+    return np.array([0.0, np.sin(a), 0.0, np.cos(a)])
+
+
+class ActiveNeRFMapper:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        sim,
+        save_path: Optional[str] = None,
+        seed: int = 9,
+        eval_scale: float = 0.25,
+        unc_scale: float = 0.1,
+        max_samples_unc: int = 256,
+        checkpoint_every: int = 1000,
+    ):
+        self.cfg = cfg
+        self.sim = sim
+        self.save_path = save_path or os.path.join(
+            cfg.save_path, datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        )
+        os.makedirs(self.save_path, exist_ok=True)
+        self.rng = np.random.RandomState(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.eval_scale = eval_scale
+        self.unc_scale = unc_scale
+        self.max_samples_unc = max_samples_unc
+        self.checkpoint_every = checkpoint_every
+
+        self.ngp_cfg = make_ngp_config(cfg)
+        self.state: EnsembleState = init_ensemble(self._next_key(), cfg)
+        self.train_step_fn = make_train_step(cfg)
+
+        aabb = np.asarray(cfg.aabb)
+        res = cfg.main_grid_resolution
+        # cost map over (x, z) (pipeline.py:123-126)
+        self.cost_map = np.full((res[0], res[2]), 0.5)
+        self.visiting_map = np.zeros(self.cost_map.shape)
+        self.align_angles = depth_scan_angles(cfg.img_w)
+        self.global_origin = np.asarray(cfg.global_origin, dtype=np.float64)
+        self.current_pose = self.global_origin.copy()
+        self.focal = cfg.focal
+        self.K = jnp.asarray(make_intrinsics(cfg.img_w, cfg.img_h, cfg.hfov))
+
+        self.lattice = jnp.asarray(
+            candidate_lattice(
+                cfg.n_candidates, cfg.near_plane, cfg.render_step_size,
+                cfg.cone_angle,
+            )
+        )
+        self.train_dataset: Optional[RayDataset] = None
+        self.test_dataset: Optional[RayDataset] = None
+        self.errors_hist: List[List[float]] = []
+        self.learning_rate_lst: List[float] = []
+        self.trajector_uncertainty_list: List[List[List[float]]] = [
+            [] for _ in range(cfg.planning_step)
+        ]
+        self.policy_type = "uncertainty"  # pipeline.py:140-143
+
+        # jitted ensemble renderers, built once
+        self._render_unc = self._build_ensemble_renderer(
+            max_samples_unc, with_variance=True
+        )
+        self._render_eval = self._build_ensemble_renderer(
+            cfg.max_samples_test, with_variance=False
+        )
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _build_ensemble_renderer(self, max_samples: int, with_variance: bool):
+        cfg, ngp_cfg, lattice = self.cfg, self.ngp_cfg, self.lattice
+
+        @jax.jit
+        def render(params, occ, origins, viewdirs, bkgd):
+            # origins/viewdirs: [V, P, 3]; map over views to bound memory,
+            # vmap over ensemble members.
+            def member(p, o):
+                def field_fn(pos, dirs):
+                    return ngp.forward(p, ngp_cfg, pos, dirs)
+
+                def one_view(rays):
+                    ro, rd = rays
+                    return render_rays(
+                        field_fn, ro, rd, o, lattice, max_samples,
+                        render_bkgd=bkgd, alpha_thre=cfg.alpha_thre,
+                        occ_mean=jnp.mean(o.occs),
+                        with_variance=with_variance,
+                    )
+
+                return jax.lax.map(one_view, (origins, viewdirs))
+
+            return jax.vmap(member)(params, occ)
+
+        return render
+
+    def _pose7_to_rays(self, poses: np.ndarray, scale: float) -> Rays:
+        """Subsampled image rays for [N, 7] pose arrays
+        (``habitat_to_data.py:304-354``: even flat-index subsampling)."""
+        cfg = self.cfg
+        W, H = cfg.img_w, cfg.img_h
+        out_n = int(H * scale) * int(W * scale)
+        idx = np.round(np.linspace(0, H * W - 1, out_n)).astype(np.int32)
+        origins, dirs = [], []
+        from ..ops.rays import image_rays
+
+        for p in poses:
+            c2w = jnp.asarray(
+                pose_matrix_from_quat(p[:3], p[3:]), dtype=jnp.float32
+            )
+            rays = image_rays(c2w, self.K, W, H)
+            origins.append(rays.origins[idx])
+            dirs.append(rays.viewdirs[idx])
+        return Rays(
+            origins=jnp.stack(origins), viewdirs=jnp.stack(dirs)
+        )
+
+    def _update_cost_map_from_depth(self, c2w_mat: np.ndarray, depth_img: np.ndarray):
+        """One depth scan into the shared cost map (``pipeline.py:272-292``)."""
+        d_points = depth_img[int(depth_img.shape[0] / 2)]
+        yaw = _euler_yzx_yaw(c2w_mat[:3, :3])
+        d_angles = (self.align_angles + yaw) % (2 * np.pi)
+        w_loc = c2w_mat[:3, 3]
+        aabb = np.asarray(self.cfg.aabb)
+        grid_loc = np.array(
+            (w_loc - aabb[:3]) // self.cfg.main_grid_size, dtype=int
+        )
+        self.cost_map, visiting = update_cost_map(
+            self.cost_map, d_points, d_angles, grid_loc, w_loc, aabb,
+            self.cfg.main_grid_size,
+        )
+        self.visiting_map += visiting
+
+    # ------------------------------------------------------------------
+    # phase 1: initialization (pipeline.py:245-352)
+    # ------------------------------------------------------------------
+
+    def initialization(self, initial_samples: int = 39):
+        cfg = self.cfg
+        poses_quat, poses_mat = [], []
+        g = self.global_origin
+        base_yaw = 0.0
+        for i in range(initial_samples):
+            ang = (base_yaw + 9.0 * i) % 360.0
+            pos = g[:3] + self.rng.uniform(-0.2, 0.2, 3)
+            quat = _yaw_quat_deg(ang)
+            pose = np.concatenate([pos, quat])
+            poses_quat.append(pose)
+            poses_mat.append(pose_matrix_from_quat(pos, quat))
+
+        images, depths, sems = self.sim.sample_images_from_poses(poses_quat)
+        for mat, d in zip(poses_mat, depths):
+            self._update_cost_map_from_depth(mat, d)
+
+        self.train_dataset = RayDataset(
+            training=True,
+            save_fp=os.path.join(self.save_path, "train"),
+            num_rays=cfg.init_batch_size,
+            num_models=cfg.n_ensembles,
+            width=cfg.img_w, height=cfg.img_h, hfov=cfg.hfov,
+            max_images=cfg.max_images,
+        )
+        self.train_dataset.update_data(
+            images[..., :3], depths, sems, np.array(poses_mat)
+        )
+
+        test_poses = [
+            np.array(list(loc) + list(quat))
+            for loc in cfg.test_loc
+            for quat in cfg.test_quat
+        ]
+        if test_poses:
+            t_imgs, t_deps, t_sems = self.sim.sample_images_from_poses(test_poses)
+            t_mats = [pose_matrix_from_quat(p[:3], p[3:]) for p in test_poses]
+            self.test_dataset = RayDataset(
+                training=False,
+                save_fp=os.path.join(self.save_path, "test"),
+                num_models=cfg.n_ensembles,
+                width=cfg.img_w, height=cfg.img_h, hfov=cfg.hfov,
+                max_images=max(len(test_poses), 1),
+            )
+            self.test_dataset.update_data(
+                t_imgs[..., :3], t_deps, t_sems, np.array(t_mats)
+            )
+            self._test_poses = np.array(test_poses)
+
+    # ------------------------------------------------------------------
+    # phase 2: training (pipeline.py:354-664)
+    # ------------------------------------------------------------------
+
+    def nerf_training(
+        self,
+        steps: int,
+        final_train: bool = False,
+        initial_train: bool = False,
+        planning_step: int = -1,
+        evaluate: bool = True,
+    ):
+        cfg = self.cfg
+        if final_train:
+            # MultiStepLR refit (pipeline.py:359-369)
+            sched = multistep_lr(cfg.lr, [int(steps * 0.3), int(steps * 0.8)])
+            self.state = reset_opt_state(self.state, cfg, sched)
+            self.train_step_fn = make_train_step(cfg, schedule=sched)
+
+        occ_thre = jnp.asarray(cfg.occ_thre_for_phase(planning_step))
+        ds = self.train_dataset
+        recent_bias = not final_train and not initial_train and planning_step > 0
+
+        losses = []
+        for step in range(steps):
+            idx = jnp.asarray(
+                ds.sample_image_indices(recent_bias, cfg.sample_disc)
+            )
+            out = self.train_step_fn(
+                self.state, ds.images, ds.depths, ds.semantics,
+                ds.camtoworlds, ds.K, idx, self._next_key(), occ_thre,
+            )
+            self.state = out.state
+            # device scalars; conversion deferred to the end (no sync here)
+            losses.append(jnp.mean(out.loss))
+            if step % 500 == 0:
+                # lr curve bookkeeping (pipeline.py:534-536)
+                self.learning_rate_lst.append(float(self._current_lr()))
+            if (step + 1) % self.checkpoint_every == 0:
+                self.save_checkpoints()
+        if evaluate and self.test_dataset is not None and (
+            final_train or planning_step == 0 or (planning_step + 1) % 2 == 0
+            or planning_step == -1
+        ):
+            self._evaluate(planning_step)
+        return [float(l) for l in losses]
+
+    def _current_lr(self) -> float:
+        from ..train.schedule import cyclic_lr
+
+        sched = cyclic_lr(
+            self.cfg.lr_base, self.cfg.lr, max(self.cfg.training_steps // 4, 1)
+        )
+        return float(sched(int(self.state.step)))
+
+    def _evaluate(self, planning_step: int):
+        """PSNR / depth-MSE / semantic-CE over the test set with member 0
+        (the reference's intended-but-dead eval, ``pipeline.py:546-613``)."""
+        ds = self.test_dataset
+        poses = self._test_poses
+        rays = self._pose7_to_rays(poses, self.eval_scale)
+        bkgd = jnp.ones(3)
+        out = self._render_eval(
+            self.state.params, self.state.occ, rays.origins, rays.viewdirs, bkgd
+        )
+        # member 0 predictions (reference evaluates model_idx == 0)
+        W, H = self.cfg.img_w, self.cfg.img_h
+        n = rays.origins.shape[1]
+        idx = np.round(np.linspace(0, H * W - 1, n)).astype(np.int32)
+        yy, xx = idx // W, idx % W
+        gt_rgb = np.asarray(ds.images[: len(poses)])[:, yy, xx] / 255.0
+        gt_dep = np.asarray(ds.depths[: len(poses)])[:, yy, xx]
+        gt_sem = np.asarray(ds.semantics[: len(poses)])[:, yy, xx]
+        pd_rgb = np.asarray(out["rgb"][0])
+        pd_dep = np.asarray(out["depth"][0][..., 0])
+        pd_sem = np.asarray(out["sem"][0])
+        row = [
+            float(planning_step),
+            float(psnr(pd_rgb, gt_rgb)),
+            float(depth_mse(pd_dep, gt_dep)),
+            float(semantic_ce(pd_sem, gt_sem)),
+        ]
+        self.errors_hist.append(row)
+        return row
+
+    # ------------------------------------------------------------------
+    # phase 3: uncertainty scoring (pipeline.py:666-798)
+    # ------------------------------------------------------------------
+
+    def probablistic_uncertainty(self, trajectory: np.ndarray, step: int):
+        """Predictive information of one candidate trajectory."""
+        n = len(trajectory)
+        a = np.linspace(0, n - 20, 20)
+        b = np.linspace(n - 20, n - 1, 20)
+        unc_idx = np.hstack((a, b)).astype(int)
+        rays = self._pose7_to_rays(trajectory[unc_idx], self.unc_scale)
+        out = self._render_unc(
+            self.state.params, self.state.occ, rays.origins, rays.viewdirs,
+            jnp.zeros(3),
+        )
+        pi = predictive_information(
+            rgb_var=out["rgb_var"],
+            depth_var=out["depth_var"][..., 0],
+            sem_logits=out["sem"],
+            acc=out["opacity"][..., 0],
+        )
+        self.trajector_uncertainty_list[step - 1].append(
+            [float(pi.rgb), float(pi.depth), float(pi.sem), float(pi.occ)]
+        )
+        return float(pi.total)
+
+    # ------------------------------------------------------------------
+    # phase 4: the planning loop (pipeline.py:1025-1224)
+    # ------------------------------------------------------------------
+
+    def planning(self, steps: int, training_steps_per_step: int):
+        cfg = self.cfg
+        current_state = self.global_origin[:3].copy()
+        step = 0
+        flag = True
+        while flag and step < cfg.planning_step:
+            step += 1
+            # ensemble binary grids → planner layout (pipeline.py:1043-1060)
+            binaries = np.asarray(self.state.occ.binaries)  # [E, X, Y, Z]
+            vg = np.swapaxes(binaries[0], 1, 2)
+            vg1 = np.swapaxes(binaries[1] if binaries.shape[0] > 1 else binaries[0], 1, 2)
+            xyz_state = current_state[[0, 2, 1]]
+            aabb = np.asarray(cfg.aabb)[[0, 2, 1, 3, 5, 4]]
+
+            candidates = sample_traj(
+                voxel_grid=np.array([vg, vg1]),
+                current_state=xyz_state,
+                N_traj=cfg.num_traj,
+                aabb=aabb,
+                cost_map=self.cost_map,
+                visiting_map=self.visiting_map,
+                save_path=self.save_path,
+                N_sample_disc=cfg.sample_disc,
+                voxel_grid_size=cfg.main_grid_size,
+                sim=self.sim,
+                rng=self.rng,
+            )
+
+            uncertainties = [
+                self.probablistic_uncertainty(c, step) for c in candidates
+            ]
+            best = int(np.argmax(uncertainties))
+            chosen = candidates[best]
+            n = len(chosen)
+            a = np.linspace(0, n - 20, 20)
+            b = np.linspace(n - 20, n - 1, 20)
+            unc_idx = np.hstack((a, b)).astype(int)
+            fly_poses = chosen[unc_idx]
+
+            images, depths, sems = self.sim.sample_images_from_poses(fly_poses)
+            mats = [pose_matrix_from_quat(p[:3], p[3:]) for p in fly_poses]
+            # cost map from the last 6 views (pipeline.py:1115-1138)
+            for mat, d in zip(mats[-6:], depths[-6:]):
+                self._update_cost_map_from_depth(mat, d)
+            self.train_dataset.update_data(
+                images[..., :3], depths, sems, np.array(mats)
+            )
+            current_state = fly_poses[-1, :3]
+            self.current_pose = chosen[-1]
+
+            self.nerf_training(
+                training_steps_per_step, planning_step=step
+            )
+
+            # stop criterion (pipeline.py:1213-1224)
+            past = [
+                np.mean(np.asarray(u), axis=0)
+                for u in self.trajector_uncertainty_list[:step]
+                if len(u) > 0
+            ]
+            if len(past) >= 5:
+                unc = np.max(np.asarray(past), axis=1)
+                if np.all(unc[-5:] > 0.05):
+                    flag = False
+        return step
+
+    # ------------------------------------------------------------------
+    # persistence (pipeline.py:1226-1274; SURVEY.md §5 layout)
+    # ------------------------------------------------------------------
+
+    def save_checkpoints(self):
+        ckpt_dir = os.path.join(self.save_path, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        for i in range(self.cfg.n_ensembles):
+            member_params = jax.tree.map(lambda x: np.asarray(x[i]),
+                                         self.state.params)
+            flat = {}
+
+            def _flatten(prefix, tree):
+                for k, v in tree.items():
+                    if isinstance(v, dict):
+                        _flatten(f"{prefix}{k}/", v)
+                    else:
+                        flat[f"{prefix}{k}"] = v
+
+            _flatten("", member_params)
+            np.savez(
+                os.path.join(ckpt_dir, f"model_{i}.npz"),
+                occ_grid=np.asarray(self.state.occ.binaries[i]),
+                occs=np.asarray(self.state.occ.occs[i]),
+                step=int(self.state.step),
+                **flat,
+            )
+
+    def load_checkpoints(self, ckpt_dir: str):
+        states = []
+        params_template = jax.tree.map(np.asarray, self.state.params)
+        for i in range(self.cfg.n_ensembles):
+            data = np.load(os.path.join(ckpt_dir, f"model_{i}.npz"))
+
+            def _unflatten(prefix, tree):
+                out = {}
+                for k, v in tree.items():
+                    if isinstance(v, dict):
+                        out[k] = _unflatten(f"{prefix}{k}/", v)
+                    else:
+                        out[k] = data[f"{prefix}{k}"]
+                return out
+
+            member = _unflatten("", jax.tree.map(lambda x: x[i],
+                                                 params_template))
+            states.append((member, data["occ_grid"], data["occs"]))
+        params = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[s[0] for s in states],
+        )
+        occ = self.state.occ._replace(
+            binaries=jnp.stack([jnp.asarray(s[1]) for s in states]),
+            occs=jnp.stack([jnp.asarray(s[2]) for s in states]),
+        )
+        self.state = self.state._replace(params=params, occ=occ)
+
+    def save_artifacts(self):
+        self.train_dataset.save()
+        if self.test_dataset is not None:
+            self.test_dataset.save()
+        np.save(
+            os.path.join(self.save_path, "uncertainty.npy"),
+            np.asarray(
+                [np.asarray(u, dtype=object)
+                 for u in self.trajector_uncertainty_list],
+                dtype=object,
+            ),
+            allow_pickle=True,
+        )
+        np.save(
+            os.path.join(self.save_path, "errors.npy"),
+            np.asarray(self.errors_hist),
+        )
+        self.save_checkpoints()
+
+    # ------------------------------------------------------------------
+
+    def pipeline(self):
+        """Full active-perception run (``pipeline.py:1226-1274``)."""
+        cfg = self.cfg
+        self.initialization()
+        self.nerf_training(cfg.training_steps, initial_train=True,
+                           planning_step=-1)
+        self.planning(cfg.planning_step, cfg.training_steps)
+        self.nerf_training(cfg.training_steps * 5, final_train=True,
+                           planning_step=-10)
+        self.save_artifacts()

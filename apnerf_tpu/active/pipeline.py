@@ -1,0 +1,85 @@
+"""CLI entry: python -m apnerf_tpu.active.pipeline
+
+Mirrors the reference CLI (``scripts/pipeline.py:65-88,1277-1285``:
+``--sem-num``, ``--habitat-scene``, ``--habitat-config-file``) plus:
+  * ``--sim {habitat,fake}`` — the analytic FakeSim needs no Habitat.
+  * ``--config`` — explicit YAML path (defaults to
+    ``configs/config_<scene>.yaml``, same naming scheme as the reference).
+  * ``--platform`` — force a JAX platform (e.g. cpu for smoke runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import random
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sem-num", type=int, default=0,
+                   help="number of semantic classes")
+    p.add_argument("--habitat-scene", type=str, default="102344250")
+    p.add_argument(
+        "--habitat-config-file", type=str,
+        default=str(
+            pathlib.Path.cwd()
+            / "data/scene_datasets/hssd-hab/hssd-hab.scene_dataset_config.json"
+        ),
+    )
+    p.add_argument("--sim", choices=["habitat", "fake"], default="habitat")
+    p.add_argument("--config", type=str, default=None,
+                   help="scene YAML path (reference schema)")
+    p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--seed", type=int, default=9)
+    return p.parse_args(argv)
+
+
+def build_mapper(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..config import PipelineConfig, load_scene_config
+    from .mapper import ActiveNeRFMapper
+
+    cfg_path = args.config or f"configs/config_{args.habitat_scene}.yaml"
+    if pathlib.Path(cfg_path).exists():
+        cfg = load_scene_config(cfg_path, num_semantic_classes=args.sem_num)
+    else:
+        cfg = PipelineConfig(num_semantic_classes=args.sem_num)
+
+    if args.sim == "fake":
+        from ..sim.fake import FakeSim
+
+        sim = FakeSim(aabb=tuple(cfg.aabb), img_w=cfg.img_w, img_h=cfg.img_h,
+                      hfov=cfg.hfov)
+        if args.sem_num == 0:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, num_semantic_classes=sim.num_semantic_classes
+            )
+    else:
+        from ..sim.habitat import HabitatSim
+
+        sim = HabitatSim(args.habitat_scene, args.habitat_config_file,
+                         cfg.img_w, cfg.img_h)
+
+    return ActiveNeRFMapper(cfg, sim, seed=args.seed)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    mapper = build_mapper(args)
+    mapper.pipeline()
+    print(f"done; artifacts in {mapper.save_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,13 +87,19 @@ def update_occ_grid(
 
     n_sub = n_cells // 4
     uniform_idx = jax.random.randint(k_uni, (n_sub,), 0, n_cells)
-    # Sample occupied cells: categorical over the binary mask. When nothing
-    # is occupied yet the weights are uniform (harmless — values only
-    # max-update cells that would read ~0 anyway).
+    # Sample occupied cells via inverse-CDF over the binary mask —
+    # O(n_cells) memory (a categorical would materialize an
+    # [n_sub, n_cells] gumbel matrix, OOM at production grid sizes).
+    # When nothing is occupied yet, fall back to the uniform draw
+    # (harmless — values only max-update cells that would read ~0 anyway).
     occ_mask = state.binaries.reshape(-1).astype(jnp.float32)
-    logits = jnp.log(occ_mask + 1e-20)
-    occupied_idx = jax.random.categorical(k_occ, logits, shape=(n_sub,))
-    any_occ = jnp.any(state.binaries)
+    cdf = jnp.cumsum(occ_mask)
+    total = cdf[-1]
+    u = jax.random.uniform(k_occ, (n_sub,)) * total
+    occupied_idx = jnp.clip(
+        jnp.searchsorted(cdf, u, side="right"), 0, n_cells - 1
+    ).astype(uniform_idx.dtype)
+    any_occ = total > 0
     occupied_idx = jnp.where(any_occ, occupied_idx, uniform_idx)
     sampled_idx = jnp.concatenate([uniform_idx, occupied_idx])
 

@@ -1,0 +1,136 @@
+"""End-to-end active-perception pipeline test on FakeSim (tiny config).
+
+The layer the reference never had (SURVEY.md §4): the full loop —
+initial scan → ensemble training → candidate trajectories → predictive
+information → fly → retrain — runs on CPU with no Habitat and no GPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from apnerf_tpu.config import PipelineConfig
+from apnerf_tpu.sim.fake import FakeSim
+
+
+AABB = (-4.0, 0.0, -4.0, 0.0, 3.0, 0.0)
+
+
+def tiny_pipeline_cfg(tmp):
+    return PipelineConfig(
+        save_path=str(tmp),
+        aabb=AABB,
+        near_plane=0.1,
+        main_grid_size=0.25,
+        main_neurons=32,
+        main_layer=2,
+        planning_step=2,
+        num_traj=2,
+        sample_disc=10,
+        training_steps=40,
+        render_step_size=0.05,
+        alpha_thre=0.01,
+        cone_angle=0.0,
+        n_ensembles=2,
+        img_w=48,
+        img_h=48,
+        num_rays=128,
+        max_samples_train=24,
+        max_samples_test=48,
+        n_candidates=256,
+        n_levels=4,
+        n_features=2,
+        log2_hashmap_size=11,
+        base_resolution=4,
+        max_resolution=32,
+        geo_feat_dim=7,
+        num_semantic_classes=8,
+        max_images=256,
+        occ_warmup_steps=8,
+        occ_every_n=4,
+        test_loc=((-2.0, 1.5, -2.0), (-1.0, 1.5, -3.0)),
+        global_origin=(-2.0, 1.5, -2.0, 0.0, 0.0, 0.0, 1.0),
+    )
+
+
+@pytest.fixture(scope="module")
+def mapper(tmp_path_factory):
+    from apnerf_tpu.active.mapper import ActiveNeRFMapper
+
+    tmp = tmp_path_factory.mktemp("run")
+    cfg = tiny_pipeline_cfg(tmp)
+    sim = FakeSim(aabb=AABB, img_w=cfg.img_w, img_h=cfg.img_h)
+    m = ActiveNeRFMapper(
+        cfg, sim, save_path=str(tmp / "out"), seed=9,
+        eval_scale=0.25, unc_scale=0.15, max_samples_unc=32,
+        checkpoint_every=10_000,
+    )
+    m.initialization(initial_samples=8)
+    return m
+
+
+def test_initialization(mapper):
+    assert len(mapper.train_dataset) == 8
+    assert len(mapper.test_dataset) == 8  # 2 loc x 4 quat
+    # cost map saw free space around the origin
+    assert (mapper.cost_map == 0).sum() > 0
+    assert mapper.visiting_map.sum() > 0
+
+
+def test_training_reduces_loss_and_evaluates(mapper):
+    losses = mapper.nerf_training(60, initial_train=True, planning_step=-1)
+    assert losses[-1] < losses[0]
+    assert len(mapper.errors_hist) == 1
+    ps, depth_err, sem_ce = mapper.errors_hist[0][1:]
+    assert np.isfinite(ps) and np.isfinite(depth_err) and np.isfinite(sem_ce)
+
+
+def test_uncertainty_scoring(mapper):
+    traj = np.tile(
+        np.array([-2.0, 1.5, -2.0, 0, 0, 0, 1.0]), (40, 1)
+    )
+    pi = mapper.probablistic_uncertainty(traj, step=1)
+    assert np.isfinite(pi)
+    assert len(mapper.trajector_uncertainty_list[0]) == 1
+    comps = mapper.trajector_uncertainty_list[0][0]
+    assert len(comps) == 4 and all(np.isfinite(c) for c in comps)
+
+
+def test_planning_loop_and_artifacts(mapper):
+    n_before = len(mapper.train_dataset)
+    # like the reference, the loop runs cfg.planning_step steps (=2 here)
+    steps = mapper.planning(mapper.cfg.planning_step, training_steps_per_step=20)
+    assert steps >= 1
+    assert len(mapper.train_dataset) == n_before + 40 * steps  # 40 poses/step
+    mapper.save_artifacts()
+    out = mapper.save_path
+    assert os.path.exists(os.path.join(out, "errors.npy"))
+    assert os.path.exists(os.path.join(out, "uncertainty.npy"))
+    assert os.path.exists(os.path.join(out, "checkpoints", "model_0.npz"))
+    assert os.path.exists(os.path.join(out, "checkpoints", "model_1.npz"))
+    assert os.path.exists(os.path.join(out, "maps"))
+    # train dataset npz roundtrips with the reference schema
+    import glob
+
+    npz = glob.glob(os.path.join(out, "train", "data0.npz"))
+    assert npz
+    data = np.load(npz[0], allow_pickle=True)
+    for k in ("images", "depths", "semantics", "camtoworlds", "K",
+              "bootstrap_indices"):
+        assert k in data
+
+
+def test_checkpoint_roundtrip(mapper):
+    from apnerf_tpu.active.mapper import ActiveNeRFMapper
+
+    before = np.asarray(mapper.state.params["mlp_base"]["w0"])
+    cfg = mapper.cfg
+    sim = mapper.sim
+    m2 = ActiveNeRFMapper(cfg, sim, save_path=mapper.save_path + "_2", seed=1)
+    m2.load_checkpoints(os.path.join(mapper.save_path, "checkpoints"))
+    after = np.asarray(m2.state.params["mlp_base"]["w0"])
+    np.testing.assert_allclose(before, after)
+    np.testing.assert_array_equal(
+        np.asarray(mapper.state.occ.binaries), np.asarray(m2.state.occ.binaries)
+    )
