@@ -96,7 +96,12 @@ class ActiveNeRFMapper:
 
         self.ngp_cfg = make_ngp_config(cfg)
         self.state: EnsembleState = init_ensemble(self._next_key(), cfg)
-        self.train_step_fn = make_train_step(cfg)
+        from ..train.phase import make_train_phase
+
+        self.train_phase_fn = make_train_phase(cfg)
+        # steps per compiled scan chunk: large enough to amortize dispatch,
+        # small enough to keep checkpoint/LR bookkeeping cadence
+        self.steps_per_call = min(100, max(cfg.training_steps, 1))
 
         aabb = np.asarray(cfg.aabb)
         res = cfg.main_grid_resolution
@@ -269,33 +274,39 @@ class ActiveNeRFMapper:
         evaluate: bool = True,
     ):
         cfg = self.cfg
+        from ..train.phase import make_train_phase, pools_from_dataset
+
         if final_train:
             # MultiStepLR refit (pipeline.py:359-369)
             sched = multistep_lr(cfg.lr, [int(steps * 0.3), int(steps * 0.8)])
             self.state = reset_opt_state(self.state, cfg, sched)
-            self.train_step_fn = make_train_step(cfg, schedule=sched)
+            self.train_phase_fn = make_train_phase(cfg, schedule=sched)
 
         occ_thre = jnp.asarray(cfg.occ_thre_for_phase(planning_step))
         ds = self.train_dataset
-        recent_bias = not final_train and not initial_train and planning_step > 0
+        recent_bias = jnp.asarray(
+            not final_train and not initial_train and planning_step > 0
+        )
+        pools, counts = pools_from_dataset(ds)
+        size = jnp.asarray(ds.size, dtype=jnp.int32)
 
         losses = []
-        for step in range(steps):
-            idx = jnp.asarray(
-                ds.sample_image_indices(recent_bias, cfg.sample_disc)
-            )
-            out = self.train_step_fn(
+        done = 0
+        while done < steps:
+            chunk = min(self.steps_per_call, steps - done)
+            keys = jax.random.split(self._next_key(), chunk)
+            self.state, chunk_losses = self.train_phase_fn(
                 self.state, ds.images, ds.depths, ds.semantics,
-                ds.camtoworlds, ds.K, idx, self._next_key(), occ_thre,
+                ds.camtoworlds, ds.K, pools, counts, size, keys,
+                occ_thre, recent_bias,
             )
-            self.state = out.state
-            # device scalars; conversion deferred to the end (no sync here)
-            losses.append(jnp.mean(out.loss))
-            if step % 500 == 0:
-                # lr curve bookkeeping (pipeline.py:534-536)
-                self.learning_rate_lst.append(float(self._current_lr()))
-            if (step + 1) % self.checkpoint_every == 0:
+            losses.append(jnp.mean(chunk_losses, axis=-1))  # [chunk]
+            done += chunk
+            # lr curve bookkeeping (pipeline.py:534-536)
+            self.learning_rate_lst.append(float(self._current_lr()))
+            if done % self.checkpoint_every < chunk:
                 self.save_checkpoints()
+        losses = [float(v) for arr in losses for v in np.asarray(arr)]
         if evaluate and self.test_dataset is not None and (
             final_train or planning_step == 0 or (planning_step + 1) % 2 == 0
             or planning_step == -1

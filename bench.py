@@ -58,34 +58,36 @@ def main():
         c2ws,
     )
 
+    from apnerf_tpu.train.phase import make_train_phase, pools_from_dataset
+
     state = init_ensemble(jax.random.PRNGKey(0), cfg)
-    # realistic mid-training occupancy: ~15% cells occupied
+    # realistic mid-training occupancy: ~15% cells occupied; past warmup
     occ_bin = (
         jax.random.uniform(jax.random.PRNGKey(1), state.occ.binaries.shape) < 0.15
     )
-    state = state._replace(occ=state.occ._replace(binaries=occ_bin))
-    step_fn = make_train_step(cfg)
+    state = state._replace(
+        occ=state.occ._replace(binaries=occ_bin), step=jnp.asarray(1000)
+    )
+    phase_fn = make_train_phase(cfg)
+    pools, counts = pools_from_dataset(ds)
+    size = jnp.asarray(ds.size, dtype=jnp.int32)
+    thre = jnp.asarray(1e-3)
+    bias = jnp.asarray(False)
 
-    key = jax.random.PRNGKey(2)
-
-    def run_step(state, key):
-        key, sub = jax.random.split(key)
-        idx = jnp.asarray(ds.sample_image_indices(False, cfg.sample_disc))
-        out = step_fn(
+    def run_chunk(state, key, n):
+        keys = jax.random.split(key, n)
+        return phase_fn(
             state, ds.images, ds.depths, ds.semantics, ds.camtoworlds, ds.K,
-            idx, sub, jnp.asarray(1e-3),
+            pools, counts, size, keys, thre, bias,
         )
-        return out.state, key, out.loss
 
+    n_steps = 50
     # warmup / compile
-    for _ in range(3):
-        state, key, loss = run_step(state, key)
+    state, loss = run_chunk(state, jax.random.PRNGKey(2), n_steps)
     jax.block_until_ready(loss)
 
-    n_steps = 30
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, key, loss = run_step(state, key)
+    state, loss = run_chunk(state, jax.random.PRNGKey(3), n_steps)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
