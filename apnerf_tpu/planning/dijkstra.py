@@ -54,11 +54,16 @@ class Dijkstra:
         return not bool(self.obstacle_map[x, y])
 
     def planning(
-        self, sx: float, sy: float, gx: float, gy: float
+        self, sx: float, sy: float, gx: float, gy: float,
+        use_native: bool = True,
     ) -> Optional[Tuple[List[float], List[float]]]:
         """→ (rx, ry) world-unit path goal→start, or None if unreachable."""
         start = (self._index(sx), self._index(sy))
         goal = (self._index(gx), self._index(gy))
+        if use_native:
+            path = self._planning_native(start, goal)
+            if path is not False:  # False = native unavailable
+                return path
         dist = {start: 0.0}
         parent = {}
         heap = [(0.0, start)]
@@ -90,3 +95,35 @@ class Dijkstra:
             rx.append(self._pos(node[0]))
             ry.append(self._pos(node[1]))
         return rx, ry
+
+    def _planning_native(self, start, goal):
+        """C++ fast path (apnerf_tpu/native/planning_core.cpp). The native
+        grid has no world-bound margin handling, so out-of-grid
+        starts/goals and boundary clipping are pre-applied here the same
+        way ``_ok`` does."""
+        from ..native import dijkstra_plan_native, is_available
+
+        if not is_available():
+            return False
+        # mark cells outside the world bounds as obstacles (the Python
+        # path rejects them in _ok via max_x/max_y position checks)
+        obstacle = np.array(self.obstacle_map != 0, dtype=np.uint8)
+        xs = np.arange(self.x_width) * self.resolution
+        ys = np.arange(self.y_width) * self.resolution
+        obstacle[(xs < self.min_x) | (xs >= self.max_x), :] = 1
+        obstacle[:, (ys < self.min_y) | (ys >= self.max_y)] = 1
+        if not (0 <= start[0] < self.x_width and 0 <= start[1] < self.y_width):
+            return False  # out-of-grid start: let the Python path handle it
+        # start cell itself may sit on an obstacle reading; the Python
+        # version never verifies the start node, so clear it.
+        obstacle[start[0], start[1]] = 0
+        res = dijkstra_plan_native(
+            obstacle, start[0], start[1], goal[0], goal[1]
+        )
+        if res is None:
+            return None
+        xs_idx, ys_idx = res
+        return (
+            [self._pos(int(i)) for i in xs_idx],
+            [self._pos(int(i)) for i in ys_idx],
+        )
