@@ -97,7 +97,12 @@ class ActiveNeRFMapper:
         self.ngp_cfg = make_ngp_config(cfg)
         self.state: EnsembleState = init_ensemble(self._next_key(), cfg)
         from ..train.phase import make_train_phase
+        from ..train.schedule import cyclic_lr
 
+        # the active LR schedule — swapped by nerf_training(final_train=True)
+        self._schedule = cyclic_lr(
+            cfg.lr_base, cfg.lr, max(cfg.training_steps // 4, 1)
+        )
         self.train_phase_fn = make_train_phase(cfg)
         # steps per compiled scan chunk: large enough to amortize dispatch,
         # small enough to keep checkpoint/LR bookkeeping cadence
@@ -281,6 +286,7 @@ class ActiveNeRFMapper:
             sched = multistep_lr(cfg.lr, [int(steps * 0.3), int(steps * 0.8)])
             self.state = reset_opt_state(self.state, cfg, sched)
             self.train_phase_fn = make_train_phase(cfg, schedule=sched)
+            self._schedule = sched
 
         occ_thre = jnp.asarray(cfg.occ_thre_for_phase(planning_step))
         ds = self.train_dataset
@@ -315,12 +321,7 @@ class ActiveNeRFMapper:
         return [float(l) for l in losses]
 
     def _current_lr(self) -> float:
-        from ..train.schedule import cyclic_lr
-
-        sched = cyclic_lr(
-            self.cfg.lr_base, self.cfg.lr, max(self.cfg.training_steps // 4, 1)
-        )
-        return float(sched(int(self.state.step)))
+        return float(self._schedule(int(self.state.step)))
 
     def _evaluate(self, planning_step: int):
         """PSNR / depth-MSE / semantic-CE over the test set with member 0
@@ -453,8 +454,13 @@ class ActiveNeRFMapper:
     # ------------------------------------------------------------------
 
     def save_checkpoints(self):
+        """Per-member checkpoint with the full reference contract
+        ``{occ_grid, model, optimizer_state_dict}`` plus the step counter
+        (``pipeline.py:616-636``) — enough to resume mid-training without
+        resetting Adam moments."""
         ckpt_dir = os.path.join(self.save_path, "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
+        opt_leaves = jax.tree_util.tree_leaves(self.state.opt_state)
         for i in range(self.cfg.n_ensembles):
             member_params = jax.tree.map(lambda x: np.asarray(x[i]),
                                          self.state.params)
@@ -468,6 +474,13 @@ class ActiveNeRFMapper:
                         flat[f"{prefix}{k}"] = v
 
             _flatten("", member_params)
+            for j, leaf in enumerate(opt_leaves):
+                arr = np.asarray(leaf)
+                # optimizer leaves carry the stacked ensemble axis when
+                # shaped like a per-member stat; scalars (e.g. count) don't
+                flat[f"__opt__{j}"] = arr[i] if arr.ndim > 0 and arr.shape[
+                    0
+                ] == self.cfg.n_ensembles else arr
             np.savez(
                 os.path.join(ckpt_dir, f"model_{i}.npz"),
                 occ_grid=np.asarray(self.state.occ.binaries[i]),
@@ -477,8 +490,16 @@ class ActiveNeRFMapper:
             )
 
     def load_checkpoints(self, ckpt_dir: str):
+        """Restore params, occupancy grids, optimizer state, and step —
+        the full resume path the reference lacks (load existed only in its
+        viewer, ``visualization/vis_nerf_habitat.py:124-126``)."""
         states = []
         params_template = jax.tree.map(np.asarray, self.state.params)
+        opt_leaves, opt_treedef = jax.tree_util.tree_flatten(
+            self.state.opt_state
+        )
+        opt_members = []
+        step = None
         for i in range(self.cfg.n_ensembles):
             data = np.load(os.path.join(ckpt_dir, f"model_{i}.npz"))
 
@@ -494,6 +515,11 @@ class ActiveNeRFMapper:
             member = _unflatten("", jax.tree.map(lambda x: x[i],
                                                  params_template))
             states.append((member, data["occ_grid"], data["occs"]))
+            if f"__opt__0" in data:
+                opt_members.append(
+                    [data[f"__opt__{j}"] for j in range(len(opt_leaves))]
+                )
+            step = int(data["step"])
         params = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
             *[s[0] for s in states],
@@ -502,7 +528,23 @@ class ActiveNeRFMapper:
             binaries=jnp.stack([jnp.asarray(s[1]) for s in states]),
             occs=jnp.stack([jnp.asarray(s[2]) for s in states]),
         )
-        self.state = self.state._replace(params=params, occ=occ)
+        opt_state = self.state.opt_state
+        if opt_members:
+            new_leaves = []
+            for j, tmpl in enumerate(opt_leaves):
+                tmpl_arr = np.asarray(tmpl)
+                if tmpl_arr.ndim > 0 and tmpl_arr.shape[0] == self.cfg.n_ensembles:
+                    leaf = jnp.stack(
+                        [jnp.asarray(m[j]) for m in opt_members]
+                    )
+                else:
+                    leaf = jnp.asarray(opt_members[0][j])
+                new_leaves.append(leaf.astype(tmpl.dtype))
+            opt_state = jax.tree_util.tree_unflatten(opt_treedef, new_leaves)
+        self.state = self.state._replace(
+            params=params, occ=occ, opt_state=opt_state,
+            step=jnp.asarray(step if step is not None else int(self.state.step)),
+        )
 
     def save_artifacts(self):
         self.train_dataset.save()

@@ -134,3 +134,36 @@ def test_checkpoint_roundtrip(mapper):
     np.testing.assert_array_equal(
         np.asarray(mapper.state.occ.binaries), np.asarray(m2.state.occ.binaries)
     )
+    # optimizer state (Adam moments + count) and step survive the roundtrip
+    # — the reference contract is {occ_grid, model, optimizer_state_dict}
+    # (reference scripts/pipeline.py:616-636)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(mapper.state.opt_state),
+        jax.tree_util.tree_leaves(m2.state.opt_state),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(m2.state.step) == int(mapper.state.step)
+
+
+def test_resume_continues_training(mapper, tmp_path):
+    """Kill-and-resume: a freshly constructed mapper that loads the
+    checkpoint can keep training (Adam moments intact, loss finite)."""
+    from apnerf_tpu.active.mapper import ActiveNeRFMapper
+
+    mapper.save_checkpoints()
+    cfg = mapper.cfg
+    m2 = ActiveNeRFMapper(
+        cfg, mapper.sim, save_path=str(tmp_path / "resume"), seed=3,
+        eval_scale=0.25, unc_scale=0.15, max_samples_unc=32,
+        checkpoint_every=10_000,
+    )
+    m2.load_checkpoints(os.path.join(mapper.save_path, "checkpoints"))
+    m2.train_dataset = mapper.train_dataset
+    m2.test_dataset = mapper.test_dataset
+    m2._test_poses = mapper._test_poses
+    step_before = int(m2.state.step)
+    losses = m2.nerf_training(10, planning_step=1, evaluate=False)
+    assert int(m2.state.step) == step_before + 10
+    assert all(np.isfinite(l) for l in losses)
