@@ -133,6 +133,10 @@ class ActiveNeRFMapper:
             [] for _ in range(cfg.planning_step)
         ]
         self.policy_type = "uncertainty"  # pipeline.py:140-143
+        # per-planning-step visualization dumps (pipeline.py:918-1023)
+        self.save_viz = True
+        self.viz_scale = eval_scale
+        self.sim_step = 0
 
         # jitted ensemble renderers, built once
         self._render_unc = self._build_ensemble_renderer(
@@ -245,6 +249,24 @@ class ActiveNeRFMapper:
         self.train_dataset.update_data(
             images[..., :3], depths, sems, np.array(poses_mat)
         )
+
+        if cfg.mark_invisible:
+            # camera-coverage occupancy init (nerfacc occ_grid.py:279-343):
+            # cells outside every initial-scan frustum stay unoccupied
+            from ..ops.occupancy import mark_invisible_cells
+
+            occ0 = jax.tree.map(lambda x: x[0], self.state.occ)
+            marked = mark_invisible_cells(
+                occ0, self.K,
+                jnp.asarray(np.array(poses_mat), dtype=jnp.float32),
+                cfg.img_w, cfg.img_h, cfg.near_plane,
+            )
+            occs = jnp.broadcast_to(
+                marked.occs[None], self.state.occ.occs.shape
+            )
+            self.state = self.state._replace(
+                occ=self.state.occ._replace(occs=occs)
+            )
 
         test_poses = [
             np.array(list(loc) + list(quat))
@@ -380,6 +402,110 @@ class ActiveNeRFMapper:
         return float(pi.total)
 
     # ------------------------------------------------------------------
+    # per-step visualization (pipeline.py:918-1023)
+    # ------------------------------------------------------------------
+
+    def render(self, traj: np.ndarray):
+        """Dump the reference's per-planning-step viz artifacts: chase-cam
+        frames ``viz/<n>.png``, top-down ``viz/top/<n>.png``, and
+        first-person GT-vs-NeRF panels under ``viz/fpv/{gt,pd}_{rgb,dep,
+        sem}`` + ``viz/fpv/pd_occ`` (layout: reference README.md:81-91,
+        writer ``pipeline.py:918-1023``). Predictions render member 0 at
+        ``viz_scale`` resolution; GT is stride-downsampled to match."""
+        import imageio.v2 as imageio
+
+        viz = os.path.join(self.save_path, "viz")
+        fpv = os.path.join(viz, "fpv")
+        os.makedirs(os.path.join(viz, "top"), exist_ok=True)
+        for sub in ("gt_rgb", "gt_dep", "gt_sem",
+                    "pd_rgb", "pd_dep", "pd_sem", "pd_occ"):
+            os.makedirs(os.path.join(fpv, sub), exist_ok=True)
+
+        traj = np.asarray(traj)
+        step = self.sim_step
+        for img in np.asarray(self.sim.render_tpv(traj)):
+            imageio.imwrite(
+                os.path.join(viz, f"{self.sim_step}.png"), img[..., :3]
+            )
+            self.sim_step += 1
+        for s, img in enumerate(np.asarray(self.sim.render_top_tpv(traj))):
+            imageio.imwrite(
+                os.path.join(viz, "top", f"{step + s}.png"), img[..., :3]
+            )
+
+        from ..viz.render_views import colorize_depth, colorize_semantics
+
+        cfg = self.cfg
+        W, H = cfg.img_w, cfg.img_h
+        oh, ow = max(int(H * self.viz_scale), 1), max(int(W * self.viz_scale), 1)
+        gt_rgb, gt_dep, gt_sem = self.sim.sample_images_from_poses(traj)
+        # strided downsample to the prediction resolution
+        ys = (np.arange(oh) * H) // oh
+        xs = (np.arange(ow) * W) // ow
+        rays = self._pose7_to_grid_rays(traj, oh, ow)
+        out = self._render_eval(
+            self.state.params, self.state.occ, rays.origins, rays.viewdirs,
+            jnp.ones(3),
+        )
+        pd_rgb = np.asarray(out["rgb"][0]).reshape(len(traj), oh, ow, 3)
+        pd_dep = np.asarray(out["depth"][0]).reshape(len(traj), oh, ow)
+        pd_sem = np.argmax(
+            np.asarray(out["sem"][0]).reshape(len(traj), oh, ow, -1), axis=-1
+        )
+        pd_occ = np.asarray(out["opacity"][0]).reshape(len(traj), oh, ow)
+        C = cfg.num_semantic_classes
+        for st in range(len(traj)):
+            n = step + st
+            g_rgb = np.asarray(gt_rgb[st])[..., :3][np.ix_(ys, xs)]
+            g_dep = np.asarray(gt_dep[st])[np.ix_(ys, xs)]
+            g_sem = np.asarray(gt_sem[st])[np.ix_(ys, xs)]
+            imageio.imwrite(
+                os.path.join(fpv, "gt_rgb", f"{n}.png"), g_rgb.astype(np.uint8)
+            )
+            imageio.imwrite(
+                os.path.join(fpv, "pd_rgb", f"{n}.png"),
+                (np.clip(pd_rgb[st], 0, 1) * 255).astype(np.uint8),
+            )
+            # depth scaled by 25 like the reference writer
+            imageio.imwrite(
+                os.path.join(fpv, "gt_dep", f"{n}.png"),
+                np.clip(g_dep * 25, 0, 255).astype(np.uint8),
+            )
+            imageio.imwrite(
+                os.path.join(fpv, "pd_dep", f"{n}.png"),
+                np.clip(pd_dep[st] * 25, 0, 255).astype(np.uint8),
+            )
+            imageio.imwrite(
+                os.path.join(fpv, "gt_sem", f"{n}.png"),
+                colorize_semantics(g_sem, C),
+            )
+            imageio.imwrite(
+                os.path.join(fpv, "pd_sem", f"{n}.png"),
+                colorize_semantics(pd_sem[st], C),
+            )
+            imageio.imwrite(
+                os.path.join(fpv, "pd_occ", f"{n}.png"),
+                np.clip(pd_occ[st] * 255, 0, 255).astype(np.uint8),
+            )
+
+    def _pose7_to_grid_rays(self, poses: np.ndarray, oh: int, ow: int) -> Rays:
+        """Clean axis-aligned low-res image rays (for viz panels that must
+        reshape to [oh, ow] images, unlike the reference's flat-linspace
+        subsampling used for uncertainty)."""
+        from ..ops.rays import image_rays
+
+        K_s = jnp.asarray(make_intrinsics(ow, oh, self.cfg.hfov))
+        origins, dirs = [], []
+        for p in np.asarray(poses):
+            c2w = jnp.asarray(
+                pose_matrix_from_quat(p[:3], p[3:]), dtype=jnp.float32
+            )
+            rays = image_rays(c2w, K_s, ow, oh)
+            origins.append(rays.origins)
+            dirs.append(rays.viewdirs)
+        return Rays(origins=jnp.stack(origins), viewdirs=jnp.stack(dirs))
+
+    # ------------------------------------------------------------------
     # phase 4: the planning loop (pipeline.py:1025-1224)
     # ------------------------------------------------------------------
 
@@ -423,6 +549,8 @@ class ActiveNeRFMapper:
             fly_poses = chosen[unc_idx]
 
             images, depths, sems = self.sim.sample_images_from_poses(fly_poses)
+            if self.save_viz:
+                self.render(fly_poses)
             mats = [pose_matrix_from_quat(p[:3], p[3:]) for p in fly_poses]
             # cost map from the last 6 views (pipeline.py:1115-1138)
             for mat, d in zip(mats[-6:], depths[-6:]):

@@ -79,6 +79,11 @@ class PipelineConfig:
     occ_every_n: int = 16
     occ_ema_decay: float = 0.95
     occ_warmup_steps: int = 256
+    # camera-coverage init (occ_grid.py:279-343): mark cells no initial-scan
+    # camera sees as invisible (occ = -1, never occupied). The reference
+    # ships this in nerfacc but its pipeline never calls it; default off
+    # for behavior parity.
+    mark_invisible: bool = False
 
     # poses (yaml:34-101)
     global_origin: Tuple[float, ...] = (

@@ -11,6 +11,9 @@ Capability parity with ``perception/models/radiance_fields/mlp.py``:
     density, sigmoid rgb.
   * ``TNeRFRadianceField`` (``mlp.py:248-317``): a warp MLP d(x, t) added
     to positions before the vanilla field.
+  * ``NDRTNeRFRadianceField`` (``mlp.py:286-395``): invertible
+    coupling-block deformation (NDR, arxiv 2206.15258) before the vanilla
+    field.
 
 These are the CPU-runnable "config 1" models of the rebuild and the
 regression oracle for the NGP path.
@@ -159,3 +162,128 @@ def tnerf_forward(
     dx = apply_mlp(params["warp"], enc, activation=jax.nn.relu)
     dx = jnp.where(jnp.broadcast_to(t, x[..., :1].shape) == 0.0, 0.0, dx)
     return vanilla_forward(params["base"], x + dx, direction, cfg.base)
+
+
+# ----------------------------------------------------------------------------
+# NDR-TNeRF: invertible (coupling-block) deformation field
+# (``mlp.py:286-395``; NDR, arxiv 2206.15258). Three coupling blocks, each
+# lifting w by an MLP of (uv, t) then rigidly transforming uv by an SE(2)
+# predicted from (w, t), with an axis rotation between blocks.
+# ----------------------------------------------------------------------------
+
+
+class NDRTNeRFConfig(NamedTuple):
+    base: VanillaNeRFConfig = VanillaNeRFConfig()
+    n_blocks: int = 3
+    width: int = 128
+    time_feat: int = 64
+    t_min_deg: int = 0
+    t_max_deg: int = 4
+    uv_min_deg: int = 0
+    uv_max_deg: int = 4
+
+
+def _near_zero_output(params: dict, key: jax.Array) -> dict:
+    """Match the reference warp MLPs' output init U(0, 1e-4)
+    (``mlp.py:260,306,319``) so the warp starts near the identity."""
+    n_layers = len(params) // 2
+    last = n_layers - 1
+    w = params[f"w{last}"]
+    params[f"w{last}"] = jax.random.uniform(key, w.shape, maxval=1e-4)
+    return params
+
+
+def init_ndr_tnerf(key: jax.Array, cfg: NDRTNeRFConfig = NDRTNeRFConfig()):
+    ks = jax.random.split(key, cfg.n_blocks * 4 + 1)
+    t_dim = _enc_dim(1, cfg.t_min_deg, cfg.t_max_deg, True)
+    uv_dim = _enc_dim(2, cfg.uv_min_deg, cfg.uv_max_deg, True)
+    w_dim = _enc_dim(1, cfg.uv_min_deg, cfg.uv_max_deg, True)
+    blocks = []
+    for i in range(cfg.n_blocks):
+        k1, k2, k3, k4 = ks[i * 4 : i * 4 + 4]
+        blocks.append(
+            {
+                # depth-2 lift MLP: (enc(uv), time_feat) -> dw
+                "warp1": _near_zero_output(
+                    init_mlp(
+                        k1,
+                        [uv_dim + cfg.time_feat, cfg.width, cfg.width, 1],
+                    ),
+                    jax.random.fold_in(k1, 1),
+                ),
+                # depth-1 SE(2) MLP: (enc(w), time_feat) -> (theta, t_uv)
+                "warp2": _near_zero_output(
+                    init_mlp(
+                        k2, [w_dim + cfg.time_feat, cfg.width, 3]
+                    ),
+                    jax.random.fold_in(k2, 1),
+                ),
+                "time1": init_mlp(k3, [t_dim, cfg.time_feat]),
+                "time2": init_mlp(k4, [t_dim, cfg.time_feat]),
+            }
+        )
+    return {
+        "blocks": {str(i): b for i, b in enumerate(blocks)},
+        "base": init_vanilla_nerf(ks[-1], cfg.base),
+    }
+
+
+def _ndr_block(block: dict, x: jnp.ndarray, t_enc: jnp.ndarray,
+               cfg: NDRTNeRFConfig) -> jnp.ndarray:
+    uv, w = x[..., :2], x[..., 2:]
+    tf1 = apply_mlp(block["time1"], t_enc)
+    dw = apply_mlp(
+        block["warp1"],
+        jnp.concatenate(
+            [sinusoidal_encode(uv, cfg.uv_min_deg, cfg.uv_max_deg, True), tf1],
+            axis=-1,
+        ),
+        activation=jax.nn.relu,
+    )
+    w = w + dw
+    tf2 = apply_mlp(block["time2"], t_enc)
+    rt = apply_mlp(
+        block["warp2"],
+        jnp.concatenate(
+            [sinusoidal_encode(w, cfg.uv_min_deg, cfg.uv_max_deg, True), tf2],
+            axis=-1,
+        ),
+        activation=jax.nn.relu,
+    )
+    theta, trans = rt[..., 0], rt[..., 1:]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    duv = uv - trans
+    # R(θ)^T-style 2D rotation, matching _euler2rot_2dinv (mlp.py:384-395)
+    uv = jnp.stack(
+        [c * duv[..., 0] + s * duv[..., 1],
+         -s * duv[..., 0] + c * duv[..., 1]],
+        axis=-1,
+    )
+    return jnp.concatenate([uv, w], axis=-1)
+
+
+def ndr_warp(params: dict, x: jnp.ndarray, t: jnp.ndarray,
+             cfg: NDRTNeRFConfig = NDRTNeRFConfig()) -> jnp.ndarray:
+    """Invertible deformation: 3 coupling blocks with axis rolls between
+    them (``mlp.py:357-365``)."""
+    t_ = jnp.broadcast_to(t, x[..., :1].shape)
+    t_enc = sinusoidal_encode(t_, cfg.t_min_deg, cfg.t_max_deg, True)
+    x = _ndr_block(params["blocks"]["0"], x, t_enc, cfg)
+    x = x[..., jnp.array([1, 2, 0])]
+    x = _ndr_block(params["blocks"]["1"], x, t_enc, cfg)
+    x = x[..., jnp.array([2, 0, 1])]
+    x = _ndr_block(params["blocks"]["2"], x, t_enc, cfg)
+    return x
+
+
+def ndr_tnerf_forward(
+    params: dict,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    direction: Optional[jnp.ndarray] = None,
+    cfg: NDRTNeRFConfig = NDRTNeRFConfig(),
+):
+    """NDR-warped vanilla NeRF → (rgb, sigma) (``mlp.py:366-383``)."""
+    return vanilla_forward(
+        params["base"], ndr_warp(params, x, t, cfg), direction, cfg.base
+    )

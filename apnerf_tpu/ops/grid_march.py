@@ -152,8 +152,18 @@ def occupancy_lookup(
     u = (positions - aabb[:3]) / (aabb[3:] - aabb[:3])
     inside = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
     ijk = jnp.clip((u * res).astype(jnp.int32), 0, jnp.array(binaries.shape) - 1)
-    occ = binaries[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
-    return occ & inside
+    # Flat-index gather fenced by optimization_barrier: XLA otherwise fuses
+    # the index arithmetic into the gather and scalarizes it (same v5e
+    # pathology measured for the hash table — see ops/hashgrid.py).
+    strides = jnp.array(
+        [binaries.shape[1] * binaries.shape[2], binaries.shape[2], 1],
+        dtype=jnp.int32,
+    )
+    flat_idx = jax.lax.optimization_barrier(
+        (ijk * strides).sum(axis=-1).reshape(-1)
+    )
+    occ = jax.lax.optimization_barrier(binaries.reshape(-1)[flat_idx])
+    return occ.reshape(positions.shape[:-1]) & inside
 
 
 def march_rays(
@@ -183,9 +193,27 @@ def march_rays(
     else:
         lo = t_min[:, None]
     in_range = (t_mid >= lo) & (t_mid <= t_max[:, None])  # [R, K]
-    pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]  # [R, K, 3]
-    occ = occupancy_lookup(binaries, aabb, pos)
-    mask = in_range & occ
+
+    # Per-axis occupancy test in [R, K] layouts (K minor → clean lane
+    # tiling; a [R, K, 3] position array pads its minor dim 43x and
+    # dominated the march cost — see ops/hashgrid.py for the measured
+    # layout rules). The flat-index gather is fenced from the index
+    # arithmetic with optimization_barrier to stay a pure memory op.
+    gx, gy, gz = binaries.shape
+    res = (gx, gy, gz)
+    inside = in_range
+    flat_idx = jnp.zeros_like(in_range, dtype=jnp.int32)
+    strides = (gy * gz, gz, 1)
+    for d in range(3):
+        u_d = (rays_o[:, d : d + 1] + t_mid * rays_d[:, d : d + 1] - aabb[d]) / (
+            aabb[d + 3] - aabb[d]
+        )
+        inside = inside & (u_d >= 0.0) & (u_d < 1.0)
+        i_d = jnp.clip((u_d * res[d]).astype(jnp.int32), 0, res[d] - 1)
+        flat_idx = flat_idx + i_d * strides[d]
+    idx_b = jax.lax.optimization_barrier(flat_idx.reshape(-1))
+    occ = jax.lax.optimization_barrier(binaries.reshape(-1)[idx_b])
+    mask = inside & occ.reshape(in_range.shape)
     idx, valid = compact_mask(mask, max_samples)
     t_starts = jnp.take_along_axis(jnp.broadcast_to(t0, mask.shape), idx, axis=1)
     t_ends = jnp.take_along_axis(jnp.broadcast_to(t1, mask.shape), idx, axis=1)

@@ -89,7 +89,7 @@ def main():
 
     R, S = 2048, 128
     aabb = (-5.0, -5.0, -5.0, 5.0, 5.0, 5.0)
-    occ = init_occ_grid(aabb, 0.0781)  # ~128^3
+    occ = init_occ_grid(aabb, (128, 128, 128))
     print("grid shape:", occ.binaries.shape)
     occ = occ._replace(
         binaries=jax.random.uniform(jax.random.PRNGKey(4), occ.binaries.shape) < 0.15

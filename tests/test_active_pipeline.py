@@ -110,6 +110,12 @@ def test_planning_loop_and_artifacts(mapper):
     assert os.path.exists(os.path.join(out, "checkpoints", "model_0.npz"))
     assert os.path.exists(os.path.join(out, "checkpoints", "model_1.npz"))
     assert os.path.exists(os.path.join(out, "maps"))
+    # per-step viz artifacts in the reference layout (pipeline.py:918-1023)
+    assert os.path.exists(os.path.join(out, "viz", "0.png"))
+    assert os.path.exists(os.path.join(out, "viz", "top", "0.png"))
+    for sub in ("gt_rgb", "gt_dep", "gt_sem",
+                "pd_rgb", "pd_dep", "pd_sem", "pd_occ"):
+        assert os.path.exists(os.path.join(out, "viz", "fpv", sub, "0.png")), sub
     # train dataset npz roundtrips with the reference schema
     import glob
 

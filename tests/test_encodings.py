@@ -63,6 +63,28 @@ def test_hashgrid_gradient_flows_to_table():
     assert np.abs(np.array(g)).sum() > 0
 
 
+def test_hashgrid_matches_reference_oracle():
+    """The batched-gather production path must agree with the naive
+    per-level oracle, forward and backward (same dual-implementation
+    strategy as nerfacc's CUDA-vs-torch tests)."""
+    cfg = hashgrid.HashGridConfig(
+        n_levels=6, n_features=4, log2_table_size=12, base_resolution=4,
+        max_resolution=64,
+    )
+    table = hashgrid.init_hash_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (333, 3))
+    a = hashgrid.hash_encode(table, x, cfg)
+    b = hashgrid.hash_encode_ref(table, x, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-7)
+    ga = jax.grad(lambda t: (hashgrid.hash_encode(t, x, cfg) ** 2).sum())(table)
+    gb = jax.grad(lambda t: (hashgrid.hash_encode_ref(t, x, cfg) ** 2).sum())(
+        table
+    )
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5,
+                               atol=1e-8)
+
+
 def test_hashgrid_resolutions_match_reference_formula():
     cfg = hashgrid.HashGridConfig()  # 16 levels, 16 → 4096
     res = cfg.resolutions

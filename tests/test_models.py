@@ -110,3 +110,27 @@ def test_tnerf_zero_time_is_identity_warp():
     np.testing.assert_allclose(np.array(rgb_t0), np.array(rgb_v), rtol=1e-5)
     rgb_t1, _ = mlpmod.tnerf_forward(params, x, jnp.asarray(0.7), d, cfg)
     assert not np.allclose(np.array(rgb_t1), np.array(rgb_v))
+
+
+def test_ndr_tnerf_near_identity_at_init_and_time_varying():
+    """The NDR coupling warp starts near the identity (warp outputs init
+    U(0, 1e-4), reference mlp.py:260,306) and varies with time."""
+    cfg = mlpmod.NDRTNeRFConfig(
+        base=mlpmod.VanillaNeRFConfig(net_depth=2, net_width=32),
+        width=16, time_feat=8,
+    )
+    params = mlpmod.init_ndr_tnerf(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 3)) * 0.3
+    warped0 = mlpmod.ndr_warp(params, x, jnp.asarray(0.0), cfg)
+    # warp output weights ~1e-4 => near-identity warp at init (note the
+    # coupling blocks also permute axes, which compose back to identity
+    # after the 3 rolls)
+    np.testing.assert_allclose(np.asarray(warped0), np.asarray(x), atol=1e-2)
+    w1 = mlpmod.ndr_warp(params, x, jnp.asarray(0.9), cfg)
+    assert not np.allclose(np.asarray(w1), np.asarray(warped0))
+    rgb, sigma = mlpmod.ndr_tnerf_forward(
+        params, x, jnp.asarray(0.5),
+        jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1)), cfg,
+    )
+    assert rgb.shape == (16, 3) and sigma.shape == (16, 1)
+    assert np.isfinite(np.asarray(rgb)).all()

@@ -100,3 +100,53 @@ def test_update_is_jittable_and_vmappable():
     out = step(states, jax.random.PRNGKey(0))
     assert out.binaries.shape == (2, 4, 4, 4)
     assert np.array(out.binaries[:, 0, 0, 0]).all()
+
+
+def test_mark_invisible_cells_frustum_semantics():
+    """Cells behind or outside every camera get occ = -1 and can never be
+    occupied by the EMA update (``occ_grid.py:279-343``)."""
+    from apnerf_tpu.ops.occupancy import mark_invisible_cells
+    from apnerf_tpu.ops.rays import make_intrinsics
+
+    state = init_occ_grid(AABB, (8, 8, 8))
+    W = H = 32
+    K = jnp.asarray(make_intrinsics(W, H, np.pi / 2))
+    # one OpenGL camera at the +z face center looking down -z (into the box)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, 0.5, 1.0]
+    marked = mark_invisible_cells(
+        state, K, jnp.asarray(c2w)[None], W, H, near_plane=0.05
+    )
+    occs = np.asarray(marked.occs).reshape(8, 8, 8)
+    # cells in front of the camera (z < 1) near the axis are visible
+    assert occs[4, 4, 2] == 0.0
+    # the hfov=90deg frustum from z=1.0 cannot cover the far corners of
+    # the near face
+    assert occs[0, 0, 7] == -1.0
+    # invisible cells never become occupied
+    after = update_occ_grid(
+        marked, lambda x: jnp.ones(x.shape[:-1] + (1,)),
+        jax.random.PRNGKey(0), jnp.asarray(0), occ_thre=1e-2,
+    )
+    occs_a = np.asarray(after.occs).reshape(8, 8, 8)
+    bin_a = np.asarray(after.binaries)
+    assert occs_a[0, 0, 7] == -1.0 and not bin_a[0, 0, 7]
+    assert bin_a[4, 4, 2]
+
+
+def test_mark_invisible_wired_into_initialization():
+    """cfg.mark_invisible=True marks never-observed cells at init."""
+    import tests.test_active_pipeline as tap
+    from apnerf_tpu.active.mapper import ActiveNeRFMapper
+    from apnerf_tpu.sim.fake import FakeSim
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = tap.tiny_pipeline_cfg(tmp)
+        cfg.mark_invisible = True
+        sim = FakeSim(aabb=tap.AABB, img_w=cfg.img_w, img_h=cfg.img_h)
+        m = ActiveNeRFMapper(cfg, sim, save_path=tmp + "/out", seed=0)
+        m.initialization(initial_samples=4)
+        occs = np.asarray(m.state.occ.occs)
+        assert (occs == -1.0).any(), "some cells should be invisible"
+        assert (occs == 0.0).any(), "some cells should be visible"
