@@ -70,6 +70,18 @@ def _quat_from_matrix(R: np.ndarray) -> np.ndarray:
     return np.array([x, y, z, w])
 
 
+def _matrix_from_quat(q: np.ndarray) -> np.ndarray:
+    """Quaternion (x, y, z, w) → rotation matrix."""
+    x, y, z, w = q / np.linalg.norm(q)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
 def _skew(v: np.ndarray) -> np.ndarray:
     return np.array(
         [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]]
@@ -167,15 +179,49 @@ class SE3Control:
         }
 
     def update(self, t: float, state: Dict, flat: Dict) -> Dict:
-        """PD position feedback → desired accel → same attitude pipeline
-        (``quadrotor_control.py:188-275``)."""
-        pos_err = np.asarray(state["x"]) - np.asarray(flat["x"])
-        vel_err = np.asarray(state["v"]) - np.asarray(flat["x_dot"])
-        acc_cmd = (
-            np.asarray(flat["x_ddot"])
-            - self.kp_pos * pos_err
+        """Geometric SE(3) feedback (``quadrotor_control.py:188-275``):
+        PD position error → desired force; thrust = projection on the
+        CURRENT body z; attitude error via the vee map; moments from
+        attitude/rate PD. Unlike ``update_ref`` this stabilizes the true
+        attitude dynamics."""
+        x = np.asarray(state["x"], dtype=np.float64)
+        v = np.asarray(state["v"], dtype=np.float64)
+        q = np.asarray(state["q"], dtype=np.float64)
+        w = np.asarray(state["w"], dtype=np.float64)
+
+        pos_err = x - np.asarray(flat["x"], dtype=np.float64)
+        vel_err = v - np.asarray(flat["x_dot"], dtype=np.float64)
+        F_des = self.mass * (
+            -self.kp_pos * pos_err
             - self.kd_pos * vel_err
+            + np.asarray(flat["x_ddot"], dtype=np.float64)
+            + np.array([0.0, 0.0, self.G])
         )
-        ref = dict(flat)
-        ref["x_ddot"] = acc_cmd
-        return self.update_ref(t, ref)
+
+        R = _matrix_from_quat(q)
+        b3 = R @ np.array([0.0, 0.0, 1.0])
+        u1 = float(np.dot(F_des, b3))
+
+        b3_des = F_des / np.linalg.norm(F_des)
+        yaw = float(flat["yaw"])
+        c1 = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+        b2_des = np.cross(b3_des, c1)
+        b2_des = b2_des / np.linalg.norm(b2_des)
+        b1_des = np.cross(b2_des, b3_des)
+        R_des = np.stack([b1_des, b2_des, b3_des]).T
+
+        S_err = 0.5 * (R_des.T @ R - R.T @ R_des)
+        att_err = np.array([-S_err[1, 2], S_err[0, 2], -S_err[0, 1]])
+        w_des = np.array([0.0, 0.0, float(flat["yaw_dot"])])
+        w_err = w - w_des
+        u2 = self.inertia @ (-self.kp_att * att_err - self.kd_att * w_err)
+
+        TM = np.array([u1, u2[0], u2[1], u2[2]])
+        forces = self.TM_to_f @ TM
+        speeds = np.sign(forces) * np.sqrt(np.abs(forces) / self.k_eta)
+        return {
+            "cmd_motor_speeds": speeds,
+            "cmd_thrust": u1,
+            "cmd_moment": u2,
+            "cmd_q": _quat_from_matrix(R_des),
+        }
