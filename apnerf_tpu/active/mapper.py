@@ -137,6 +137,10 @@ class ActiveNeRFMapper:
         self.save_viz = True
         self.viz_scale = eval_scale
         self.sim_step = 0
+        # per-phase wall-clock + samples/s (written to throughput.json by
+        # save_artifacts; the reference has no throughput observability)
+        self.throughput_log: List[dict] = []
+        self.profile_dir: Optional[str] = None
 
         # jitted ensemble renderers, built once
         self._render_unc = self._build_ensemble_renderer(
@@ -320,6 +324,9 @@ class ActiveNeRFMapper:
 
         losses = []
         done = 0
+        import time as _time
+
+        t_phase = _time.perf_counter()
         while done < steps:
             chunk = min(self.steps_per_call, steps - done)
             keys = jax.random.split(self._next_key(), chunk)
@@ -335,6 +342,20 @@ class ActiveNeRFMapper:
             if done % self.checkpoint_every < chunk:
                 self.save_checkpoints()
         losses = [float(v) for arr in losses for v in np.asarray(arr)]
+        # throughput observability (SURVEY.md §5: rays/sec/chip is the
+        # north-star metric the reference never measured)
+        dt = _time.perf_counter() - t_phase
+        samples = steps * cfg.n_ensembles * cfg.num_rays * cfg.max_samples_train
+        self.throughput_log.append(
+            {
+                "planning_step": planning_step,
+                "steps": steps,
+                "seconds": dt,
+                "samples_per_sec": samples / max(dt, 1e-9),
+                "rays_per_sec": steps * cfg.n_ensembles * cfg.num_rays
+                / max(dt, 1e-9),
+            }
+        )
         if evaluate and self.test_dataset is not None and (
             final_train or planning_step == 0 or (planning_step + 1) % 2 == 0
             or planning_step == -1
@@ -379,8 +400,16 @@ class ActiveNeRFMapper:
     # phase 3: uncertainty scoring (pipeline.py:666-798)
     # ------------------------------------------------------------------
 
-    def probablistic_uncertainty(self, trajectory: np.ndarray, step: int):
-        """Predictive information of one candidate trajectory."""
+    def dispatch_uncertainty(self, trajectory: np.ndarray):
+        """Asynchronously dispatch one candidate's predictive-information
+        render+score; returns the un-synced device PI tuple.
+
+        The reference scores candidates strictly sequentially with a host
+        sync per trajectory (``pipeline.py:666-798``, 20 syncs per planning
+        step). JAX dispatch is async, so queuing all candidates and
+        converting once overlaps the host-side ray building of candidate
+        k+1 with the device render of candidate k (SURVEY.md §7
+        "host/device loop structure")."""
         n = len(trajectory)
         a = np.linspace(0, n - 20, 20)
         b = np.linspace(n - 20, n - 1, 20)
@@ -390,12 +419,17 @@ class ActiveNeRFMapper:
             self.state.params, self.state.occ, rays.origins, rays.viewdirs,
             jnp.zeros(3),
         )
-        pi = predictive_information(
+        return predictive_information(
             rgb_var=out["rgb_var"],
             depth_var=out["depth_var"][..., 0],
             sem_logits=out["sem"],
             acc=out["opacity"][..., 0],
         )
+
+    def probablistic_uncertainty(self, trajectory: np.ndarray, step: int):
+        """Predictive information of one candidate trajectory (blocking;
+        the planning loop uses dispatch_uncertainty to pipeline)."""
+        pi = self.dispatch_uncertainty(trajectory)
         self.trajector_uncertainty_list[step - 1].append(
             [float(pi.rgb), float(pi.depth), float(pi.sem), float(pi.occ)]
         )
@@ -537,9 +571,17 @@ class ActiveNeRFMapper:
                 rng=self.rng,
             )
 
-            uncertainties = [
-                self.probablistic_uncertainty(c, step) for c in candidates
-            ]
+            # queue every candidate's render+score, then sync once — the
+            # device renders candidate k while the host builds rays for
+            # k+1 (vs the reference's 20 blocking syncs, pipeline.py:666)
+            pis = [self.dispatch_uncertainty(c) for c in candidates]
+            comps = np.asarray(
+                [[p.rgb, p.depth, p.sem, p.occ] for p in pis], dtype=float
+            )
+            self.trajector_uncertainty_list[step - 1].extend(
+                comps.tolist()
+            )
+            uncertainties = comps.sum(axis=1)
             best = int(np.argmax(uncertainties))
             chosen = candidates[best]
             n = len(chosen)
@@ -691,6 +733,10 @@ class ActiveNeRFMapper:
             os.path.join(self.save_path, "errors.npy"),
             np.asarray(self.errors_hist),
         )
+        import json
+
+        with open(os.path.join(self.save_path, "throughput.json"), "w") as f:
+            json.dump(self.throughput_log, f, indent=1)
         self.save_checkpoints()
 
     # ------------------------------------------------------------------

@@ -34,6 +34,11 @@ def parse_args(argv=None):
                    help="scene YAML path (reference schema)")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--seed", type=int, default=9)
+    p.add_argument(
+        "--profile", type=str, default=None, metavar="DIR",
+        help="write a jax.profiler trace of the run to DIR "
+        "(view with tensorboard or xprof)",
+    )
     return p.parse_args(argv)
 
 
@@ -77,7 +82,19 @@ def main(argv=None):
     random.seed(args.seed)
     np.random.seed(args.seed)
     mapper = build_mapper(args)
-    mapper.pipeline()
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            mapper.pipeline()
+    else:
+        mapper.pipeline()
+    if mapper.throughput_log:
+        last = mapper.throughput_log[-1]
+        print(
+            f"throughput: {last['samples_per_sec']:.3e} samples/s, "
+            f"{last['rays_per_sec']:.3e} rays/s"
+        )
     print(f"done; artifacts in {mapper.save_path}")
 
 
