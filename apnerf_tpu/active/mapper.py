@@ -94,16 +94,44 @@ class ActiveNeRFMapper:
         self.max_samples_unc = max_samples_unc
         self.checkpoint_every = checkpoint_every
 
-        self.ngp_cfg = make_ngp_config(cfg)
-        self.state: EnsembleState = init_ensemble(self._next_key(), cfg)
+        # field/sampler selection: "spectral"+"prop" is the TPU flagship
+        # (models/spectral.py, render/prop_renderer.py); "ngp"+"occ" is the
+        # exact reference-parity path. Mixed combinations are not wired.
+        self.use_prop = cfg.sampler_type == "prop"
+        if cfg.field_type == "spectral" and not self.use_prop or (
+            cfg.field_type == "ngp" and self.use_prop
+        ):
+            raise ValueError(
+                "supported (field_type, sampler_type): (spectral, prop) "
+                f"or (ngp, occ); got ({cfg.field_type}, {cfg.sampler_type})"
+            )
         from ..train.phase import make_train_phase
         from ..train.schedule import cyclic_lr
+
+        if self.use_prop:
+            from ..train.flagship import (
+                init_flagship_ensemble,
+                make_flagship_train_phase,
+                make_prop_config,
+                make_spectral_config,
+            )
+
+            self.spectral_cfg = make_spectral_config(cfg)
+            self.prop_cfg = make_prop_config(cfg)
+            self.state: EnsembleState = init_flagship_ensemble(
+                self._next_key(), cfg
+            )
+            self._make_phase = make_flagship_train_phase
+        else:
+            self.ngp_cfg = make_ngp_config(cfg)
+            self.state = init_ensemble(self._next_key(), cfg)
+            self._make_phase = make_train_phase
 
         # the active LR schedule — swapped by nerf_training(final_train=True)
         self._schedule = cyclic_lr(
             cfg.lr_base, cfg.lr, max(cfg.training_steps // 4, 1)
         )
-        self.train_phase_fn = make_train_phase(cfg)
+        self.train_phase_fn = self._make_phase(cfg)
         # steps per compiled scan chunk: large enough to amortize dispatch,
         # small enough to keep checkpoint/LR bookkeeping cadence
         self.steps_per_call = min(100, max(cfg.training_steps, 1))
@@ -159,7 +187,46 @@ class ActiveNeRFMapper:
         return sub
 
     def _build_ensemble_renderer(self, max_samples: int, with_variance: bool):
-        cfg, ngp_cfg, lattice = self.cfg, self.ngp_cfg, self.lattice
+        cfg, lattice = self.cfg, self.lattice
+
+        if self.use_prop:
+            from ..models import spectral
+            from ..render.prop_renderer import render_rays_prop
+
+            s_cfg, p_cfg = self.spectral_cfg, self.prop_cfg
+            aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
+
+            @jax.jit
+            def render(params, occ, origins, viewdirs, bkgd):
+                def member(p, o):
+                    def field_fn(pos, dirs):
+                        return spectral.forward(p["main"], s_cfg, pos, dirs)
+
+                    def prop_fn(pos):
+                        return spectral.query_density_field(
+                            p["prop"], p_cfg, pos
+                        )
+
+                    def one_view(rays):
+                        ro, rd = rays
+                        outs, _ = render_rays_prop(
+                            field_fn, prop_fn, ro, rd, aabb,
+                            jax.random.PRNGKey(0),
+                            num_samples=max_samples,
+                            num_prop_samples=cfg.num_prop_samples,
+                            near_plane=cfg.near_plane,
+                            render_bkgd=bkgd, stratified=False,
+                            with_variance=with_variance,
+                        )
+                        return outs
+
+                    return jax.lax.map(one_view, (origins, viewdirs))
+
+                return jax.vmap(member)(params, occ)
+
+            return render
+
+        ngp_cfg = self.ngp_cfg
 
         @jax.jit
         def render(params, occ, origins, viewdirs, bkgd):
@@ -311,7 +378,7 @@ class ActiveNeRFMapper:
             # MultiStepLR refit (pipeline.py:359-369)
             sched = multistep_lr(cfg.lr, [int(steps * 0.3), int(steps * 0.8)])
             self.state = reset_opt_state(self.state, cfg, sched)
-            self.train_phase_fn = make_train_phase(cfg, schedule=sched)
+            self.train_phase_fn = self._make_phase(cfg, schedule=sched)
             self._schedule = sched
 
         occ_thre = jnp.asarray(cfg.occ_thre_for_phase(planning_step))

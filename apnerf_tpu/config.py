@@ -85,6 +85,20 @@ class PipelineConfig:
     # for behavior parity.
     mark_invisible: bool = False
 
+    # TPU flagship path: spectral (Fourier-feature) field + proposal-net
+    # sampling — all-MXU/VPU, no per-sample random memory access (see
+    # models/spectral.py, render/prop_renderer.py for the measured
+    # rationale). "ngp"/"occ" are the exact-parity alternatives.
+    field_type: str = "spectral"  # "spectral" | "ngp"
+    sampler_type: str = "prop"  # "prop" | "occ"
+    num_prop_samples: int = 64
+    prop_neurons: int = 64
+    prop_layers: int = 2
+    spectral_neurons: int = 256
+    spectral_layers: int = 3
+    spectral_freqs_per_level: int = 8
+    prop_loss_weight: float = 1.0
+
     # poses (yaml:34-101)
     global_origin: Tuple[float, ...] = (
         -14.79389263, 1.5, -10.6045085, 0.0, 0.0, 0.0, 1.0

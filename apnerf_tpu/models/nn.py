@@ -6,13 +6,13 @@ kernels can consume the raw weight matrices directly.
 
 Replaces the reference's tcnn ``FullyFusedMLP`` heads
 (``perception/models/radiance_fields/ngp.py:123-169``). On TPU the fusion
-job belongs to XLA: these are [N, in]×[in, h] matmuls that land on the MXU;
-a dedicated Pallas fused-MLP kernel is only worthwhile once the hash-encode
-gather dominates (see ops/pallas).
+job belongs to XLA: these are [N, in]×[in, h] matmuls that land on the MXU.
 
 tcnn pads hidden widths to multiples of 16 and runs fp16; here widths are
-chosen MXU-friendly (128/64 — already multiples of 8/128 lanes) and the
-compute dtype is a knob (bf16 matmuls with f32 accumulation by default).
+chosen MXU-friendly and the compute dtype is a knob: the flagship spectral
+field passes ``compute_dtype=bfloat16`` (bf16 MXU matmuls, f32 MXU
+accumulation, f32 parameters/optimizer — see ``apply_mlp`` for why the
+hidden layers keep bf16 *outputs*); callers that omit it run f32.
 """
 
 from __future__ import annotations
@@ -48,20 +48,32 @@ def apply_mlp(
     compute_dtype=None,
 ) -> jnp.ndarray:
     """Apply an MLP; hidden activations ReLU, linear output by default
-    (tcnn ``output_activation: None``)."""
+    (tcnn ``output_activation: None``).
+
+    With ``compute_dtype=bfloat16`` the hidden dots keep bf16 outputs
+    (MXU accumulates f32 internally and rounds): this matters for the
+    BACKWARD pass — a dot with ``preferred_element_type=f32`` produces f32
+    cotangents, silently demoting every backward matmul (2/3 of training
+    FLOPs) to the 4x-slower f32 MXU path. Only the final layer emits f32.
+    The same mixed-precision contract as tcnn's fully-fused fp16 MLPs
+    (``reference pipeline.py:181`` trains under GradScaler fp16)."""
     n_layers = len(params) // 2
     orig_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     for i in range(n_layers):
         w, b = params[f"w{i}"], params[f"b{i}"]
+        last = i == n_layers - 1
         if compute_dtype is not None:
             w, b = w.astype(compute_dtype), b.astype(compute_dtype)
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
-        if i < n_layers - 1:
+            out_dtype = jnp.float32 if last else compute_dtype
+        else:
+            out_dtype = jnp.float32
+        x = jnp.dot(x, w, preferred_element_type=out_dtype) + b.astype(
+            out_dtype
+        )
+        if not last:
             x = activation(x)
         elif output_activation is not None:
             x = output_activation(x)
-        if compute_dtype is not None and i < n_layers - 1:
-            x = x.astype(compute_dtype)
     return x.astype(orig_dtype)

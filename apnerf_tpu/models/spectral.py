@@ -1,0 +1,260 @@
+"""Spectral semantic radiance field — the TPU-native flagship field.
+
+Same capability as the NGP semantic field (``models/ngp.py`` ⇔ reference
+``perception/models/radiance_fields/ngp.py:69-253``: density + RGB +
+semantic heads, trunc_exp(x-1), SH-4 view encoding, aabb selector), with
+the multiresolution hash table replaced by a **learned spectral encoding**:
+
+    enc(x) = [cos(2π x·W + φ), sin(2π x·W + φ)]      W: [3, M] learnable
+
+with per-level frequency bands laid out on the same geometric ladder as
+the hash grid (base 16 → 4096 over n_levels). Why: honest measurement on
+the v5e (scripts/profile_honest2.py) puts XLA random gathers/scatters at
+~7-11 ns per ROW regardless of table size — the 16-level hash encode needs
+~67M row accesses per production step (≈1.3 s fwd alone), while matmuls of
+the same batch are ~free. A table-free encoding moves 100% of the field
+onto the MXU/VPU; the hash path (``models/ngp.py``) remains available for
+exact tcnn parity.
+
+Compute dtype is bf16 with f32 accumulation by default (the knob the MLP
+layer exposes), f32 parameters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.contraction import contract_to_unisphere
+from ..ops.sh import sh_encode_deg4
+from .ngp import trunc_exp
+from .nn import apply_mlp, init_mlp
+
+
+class SpectralConfig(NamedTuple):
+    aabb: Tuple[float, ...]  # (6,)
+    neurons: int = 256  # trunk width
+    layers: int = 3  # trunk hidden layers
+    geo_feat_dim: int = 15
+    n_levels: int = 16  # frequency bands (ladder matches the hash grid)
+    freqs_per_level: int = 8  # random directions per band
+    base_freq: float = 16.0
+    max_freq: float = 4096.0
+    num_semantic_classes: int = 0
+    use_viewdirs: bool = True
+    unbounded: bool = False
+    compute_dtype: str = "bfloat16"  # matmul dtype; f32 accumulation
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_levels * self.freqs_per_level
+
+    @property
+    def enc_dim(self) -> int:
+        return 2 * self.n_freqs
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def init_spectral(key: jax.Array, cfg: SpectralConfig) -> dict:
+    kw, kp, k_base, k_head, k_sem = jax.random.split(key, 5)
+    # per-band isotropic random directions scaled to the band frequency,
+    # geometric ladder base..max like HashGridConfig.per_level_scale
+    scales = np.exp(
+        np.linspace(
+            np.log(cfg.base_freq), np.log(cfg.max_freq), cfg.n_levels
+        )
+    )  # [L]
+    dirs = jax.random.normal(kw, (cfg.n_levels, cfg.freqs_per_level, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    W = (dirs * jnp.asarray(scales, jnp.float32)[:, None, None]).reshape(
+        cfg.n_freqs, 3
+    )
+    phase = jax.random.uniform(
+        kp, (cfg.n_freqs,), minval=0.0, maxval=2 * np.pi
+    )
+    params = {
+        "W": W.T,  # [3, M] learnable spectrum
+        "phase": phase,
+        "mlp_base": init_mlp(
+            k_base,
+            [cfg.enc_dim]
+            + [cfg.neurons] * cfg.layers
+            + [1 + cfg.geo_feat_dim],
+        ),
+        "mlp_head": init_mlp(
+            k_head,
+            [(16 if cfg.use_viewdirs else 0) + cfg.geo_feat_dim]
+            + [cfg.neurons // 4] * 2
+            + [3],
+        ),
+    }
+    if cfg.num_semantic_classes > 0:
+        params["mlp_sem"] = init_mlp(
+            k_sem,
+            [cfg.geo_feat_dim]
+            + [cfg.neurons // 4] * 2
+            + [cfg.num_semantic_classes],
+        )
+    return params
+
+
+def _normalize(cfg: SpectralConfig, x: jnp.ndarray):
+    aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
+    if cfg.unbounded:
+        u = contract_to_unisphere(x, aabb)
+        selector = jnp.ones(x.shape[:-1], dtype=bool)
+    else:
+        u = (x - aabb[:3]) / (aabb[3:] - aabb[:3])
+        selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
+    return u, selector
+
+
+def spectral_encode(params: dict, cfg: SpectralConfig, u: jnp.ndarray):
+    """[..., 3] unit-cube coords → [..., 2M] spectral features (one
+    matmul + sin/cos on the VPU)."""
+    dt = cfg.dtype
+    proj = (
+        jnp.dot(
+            u.astype(dt), params["W"].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        * (2 * np.pi)
+        + params["phase"]
+    )
+    return jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=-1)
+
+
+def query_density(
+    params: dict, cfg: SpectralConfig, x: jnp.ndarray, return_feat: bool = False
+):
+    """Same contract as ``ngp.query_density`` (``ngp.py:171-200``)."""
+    batch_shape = x.shape[:-1]
+    u, selector = _normalize(cfg, x)
+    enc = spectral_encode(params, cfg, u.reshape(-1, 3))
+    h = apply_mlp(params["mlp_base"], enc, compute_dtype=cfg.dtype)
+    h = h.reshape(batch_shape + (1 + cfg.geo_feat_dim,))
+    density_raw, geo_feat = h[..., :1], h[..., 1:]
+    density = trunc_exp(density_raw - 1.0) * selector[..., None]
+    if return_feat:
+        return density, geo_feat
+    return density
+
+
+def query_rgb(
+    params: dict, cfg: SpectralConfig, direction: jnp.ndarray,
+    geo_feat: jnp.ndarray,
+):
+    batch_shape = geo_feat.shape[:-1]
+    if cfg.use_viewdirs:
+        d = sh_encode_deg4(direction.reshape(-1, 3))
+        h = jnp.concatenate(
+            [d, geo_feat.reshape(-1, cfg.geo_feat_dim)], axis=-1
+        )
+    else:
+        h = geo_feat.reshape(-1, cfg.geo_feat_dim)
+    rgb = apply_mlp(params["mlp_head"], h, compute_dtype=cfg.dtype)
+    return jax.nn.sigmoid(rgb).reshape(batch_shape + (3,))
+
+
+def query_semantic(params: dict, cfg: SpectralConfig, geo_feat: jnp.ndarray):
+    batch_shape = geo_feat.shape[:-1]
+    logits = apply_mlp(
+        params["mlp_sem"], geo_feat.reshape(-1, cfg.geo_feat_dim),
+        compute_dtype=cfg.dtype,
+    )
+    return logits.reshape(batch_shape + (cfg.num_semantic_classes,))
+
+
+def forward(
+    params: dict,
+    cfg: SpectralConfig,
+    positions: jnp.ndarray,
+    directions: Optional[jnp.ndarray] = None,
+):
+    """→ (rgb, density[, sem_logits]); drop-in for ``ngp.forward``."""
+    density, geo_feat = query_density(params, cfg, positions, return_feat=True)
+    rgb = query_rgb(params, cfg, directions, geo_feat)
+    if cfg.num_semantic_classes > 0:
+        sem = query_semantic(params, cfg, geo_feat)
+        return rgb, density, sem
+    return rgb, density
+
+
+# -- small proposal (density-only) spectral field ---------------------------
+
+
+class SpectralDensityConfig(NamedTuple):
+    aabb: Tuple[float, ...]
+    neurons: int = 64
+    layers: int = 2
+    n_levels: int = 8
+    freqs_per_level: int = 4
+    base_freq: float = 4.0
+    max_freq: float = 256.0
+    unbounded: bool = False
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_levels * self.freqs_per_level
+
+    @property
+    def enc_dim(self) -> int:
+        return 2 * self.n_freqs
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def init_spectral_density(key: jax.Array, cfg: SpectralDensityConfig) -> dict:
+    kw, kp, k_base = jax.random.split(key, 3)
+    scales = np.exp(
+        np.linspace(np.log(cfg.base_freq), np.log(cfg.max_freq), cfg.n_levels)
+    )
+    dirs = jax.random.normal(kw, (cfg.n_levels, cfg.freqs_per_level, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    W = (dirs * jnp.asarray(scales, jnp.float32)[:, None, None]).reshape(
+        cfg.n_freqs, 3
+    )
+    return {
+        "W": W.T,
+        "phase": jax.random.uniform(
+            kp, (cfg.n_freqs,), minval=0.0, maxval=2 * np.pi
+        ),
+        "mlp_base": init_mlp(
+            k_base, [cfg.enc_dim] + [cfg.neurons] * cfg.layers + [1]
+        ),
+    }
+
+
+def query_density_field(
+    params: dict, cfg: SpectralDensityConfig, x: jnp.ndarray
+):
+    batch_shape = x.shape[:-1]
+    aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
+    if cfg.unbounded:
+        u = contract_to_unisphere(x, aabb)
+        selector = jnp.ones(batch_shape, dtype=bool)
+    else:
+        u = (x - aabb[:3]) / (aabb[3:] - aabb[:3])
+        selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
+    dt = cfg.dtype
+    proj = (
+        jnp.dot(
+            u.reshape(-1, 3).astype(dt), params["W"].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        * (2 * np.pi)
+        + params["phase"]
+    )
+    enc = jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=-1)
+    h = apply_mlp(params["mlp_base"], enc, compute_dtype=dt)
+    h = h.reshape(batch_shape + (1,))
+    return trunc_exp(h - 1.0) * selector[..., None]

@@ -1,0 +1,105 @@
+"""Proposal-network renderer — the TPU flagship sampling path.
+
+Replaces occupancy-grid lattice marching in the *training/rendering hot
+path* with hierarchical proposal sampling (the reference ships exactly
+this alternative: ``perception/nerfacc/nerfacc/estimators/prop_net.py`` +
+``perception/models/train_ngp_nerf_prop.py``; nerfacc's own benchmarks put
+it at PSNR 31.76 vs 33.11 for occ-grid on NeRF-Synthetic,
+``docs/.../ngp.rst:44-46``).
+
+Why this is the TPU-native choice: the occupancy lattice tests R×K≈4.2M
+grid cells per step and XLA random gathers cost ~7-11 ns per row on a v5e
+(scripts/profile_honest2.py) — ~34 ms/member-step of pure pointer chasing.
+Proposal sampling replaces all of it with a small density-MLP evaluation
+(MXU matmuls) plus a gather-free inverse-CDF (compare+reduce, VPU): zero
+random memory access in the entire train step. The occupancy grid itself
+is still maintained (cheap, amortized) because the *planner* consumes its
+binaries — it just no longer sits in the per-step sampling path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.propnet import prop_loss, propnet_sampling
+from ..ops import volrend
+from ..ops.grid_march import ray_aabb_intersect
+
+
+def render_rays_prop(
+    field_fn: Callable,  # (positions [R,S,3], dirs [R,S,3]) -> (rgb, sigma[, sem])
+    prop_density_fn: Callable,  # (positions [R,Sp,3]) -> sigma [R,Sp,1]
+    rays_o: jnp.ndarray,  # [R, 3]
+    rays_d: jnp.ndarray,  # [R, 3]
+    aabb: jnp.ndarray,  # [6]
+    key: jax.Array,
+    num_samples: int,
+    num_prop_samples: int = 64,
+    near_plane: float = 0.1,
+    far_plane: float = 1e10,
+    render_bkgd: Optional[jnp.ndarray] = None,
+    stratified: bool = True,
+    sampling_type: str = "uniform",
+    with_variance: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """One proposal round + main field render.
+
+    Returns (outs dict like ``renderer.render_rays``, prop_loss_value).
+    Rays that miss the aabb get a degenerate near≈far interval → zero
+    weights → pure background (same contract as the occ path).
+    """
+    R = rays_o.shape[0]
+    t_min, t_max = ray_aabb_intersect(
+        rays_o, rays_d, aabb, near_plane=near_plane, far_plane=far_plane
+    )
+    miss = t_min >= t_max
+    t_lo = jnp.where(miss, near_plane, jnp.maximum(t_min, near_plane))
+    t_hi = jnp.where(miss, near_plane * (1 + 1e-4), t_max)
+
+    def prop_sigma_fn(t0, t1):
+        t_mid = 0.5 * (t0 + t1)
+        pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+        return prop_density_fn(pos)[..., 0]
+
+    t0, t1, levels = propnet_sampling(
+        key,
+        [prop_sigma_fn],
+        [num_prop_samples],
+        num_samples,
+        rays_o,
+        rays_d,
+        near_plane=t_lo,
+        far_plane=t_hi,
+        sampling_type=sampling_type,
+        stratified=stratified,
+        use_onehot=True,
+    )
+
+    t_mid = 0.5 * (t0 + t1)
+    pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
+    out = field_fn(pos, dirs)
+    if len(out) == 3:
+        rgbs, sigmas, sems = out
+    else:
+        rgbs, sigmas = out
+        sems = None
+    sigmas = sigmas[..., 0] * (~miss[:, None])
+
+    weights, trans, alphas = volrend.render_weight_from_density(t0, t1, sigmas)
+    outs = volrend.render_outputs(
+        weights, t0, t1, rgbs, sems=sems, render_bkgd=render_bkgd
+    )
+    outs["n_samples"] = jnp.sum(~miss) * num_samples
+    if with_variance:
+        outs["rgb_var"] = volrend.render_variance(
+            weights, rgbs, volrend.accumulate_along_rays(weights, rgbs)
+        )
+        outs["depth_var"] = volrend.render_variance(
+            weights, t_mid[..., None], outs["depth"]
+        )[..., 0:1]
+    p_loss = prop_loss(levels, t0, t1, weights, use_onehot=True)
+    return outs, p_loss

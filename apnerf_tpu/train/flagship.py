@@ -1,0 +1,173 @@
+"""Flagship TPU train path: spectral field + proposal sampling.
+
+Same step semantics as ``train/step.py`` (ensemble vmap, 3-term loss,
+NaN-guarded Adam, occupancy EMA on cadence for the planner) with the two
+hot components swapped for their TPU-native equivalents:
+
+  * field: ``models/spectral.py`` (learned Fourier spectrum + MLP; no
+    hash-table gathers),
+  * sampler: ``render/prop_renderer.py`` (proposal MLP + gather-free
+    inverse-CDF; no occupancy-lattice gathers).
+
+The occupancy grid is still EMA-updated every ``occ_every_n`` steps from
+the spectral density so ``planning`` keeps consuming the same binaries —
+it is simply no longer in the per-step sampling path. Loss gains the
+mipnerf360 proposal-matching term (reference capability:
+``perception/nerfacc/nerfacc/estimators/prop_net.py:136-180``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import optax
+
+from ..config import PipelineConfig
+from ..models import spectral
+from ..ops.occupancy import init_occ_grid, maybe_update_occ_grid
+from ..render.prop_renderer import render_rays_prop
+from .step import EnsembleState, make_optimizer
+from .phase import make_train_phase
+
+
+def make_spectral_config(cfg: PipelineConfig) -> spectral.SpectralConfig:
+    return spectral.SpectralConfig(
+        aabb=tuple(float(v) for v in cfg.aabb),
+        neurons=cfg.spectral_neurons,
+        layers=cfg.spectral_layers,
+        geo_feat_dim=cfg.geo_feat_dim,
+        n_levels=cfg.n_levels,
+        freqs_per_level=cfg.spectral_freqs_per_level,
+        base_freq=float(cfg.base_resolution),
+        max_freq=float(cfg.max_resolution),
+        num_semantic_classes=cfg.num_semantic_classes,
+    )
+
+
+def make_prop_config(cfg: PipelineConfig) -> spectral.SpectralDensityConfig:
+    return spectral.SpectralDensityConfig(
+        aabb=tuple(float(v) for v in cfg.aabb),
+        neurons=cfg.prop_neurons,
+        layers=cfg.prop_layers,
+        max_freq=float(min(cfg.max_resolution, 256)),
+    )
+
+
+def init_flagship_ensemble(
+    key: jax.Array, cfg: PipelineConfig, schedule: Optional[Callable] = None
+) -> EnsembleState:
+    """Stacked ensemble state with params = {"main": ..., "prop": ...}."""
+    s_cfg = make_spectral_config(cfg)
+    p_cfg = make_prop_config(cfg)
+    opt = make_optimizer(cfg, schedule)
+    keys = jax.random.split(key, cfg.n_ensembles)
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        params = {
+            "main": spectral.init_spectral(k1, s_cfg),
+            "prop": spectral.init_spectral_density(k2, p_cfg),
+        }
+        return params, opt.init(params), init_occ_grid(
+            cfg.aabb, cfg.main_grid_resolution
+        )
+
+    params, opt_state, occ = jax.vmap(one)(keys)
+    return EnsembleState(
+        params=params, opt_state=opt_state, occ=occ, step=jnp.asarray(0)
+    )
+
+
+def make_flagship_member_core(
+    cfg: PipelineConfig, schedule: Optional[Callable] = None
+):
+    """One member's flagship train logic; same signature as
+    ``step.make_member_core`` so ``phase.make_train_phase`` and the
+    sharded path can consume it unchanged."""
+    s_cfg = make_spectral_config(cfg)
+    p_cfg = make_prop_config(cfg)
+    opt = make_optimizer(cfg, schedule)
+    aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
+
+    def member_core(params, opt_state, occ, batch, k_occ, step, occ_thre):
+        k_occ, k_samp = jax.random.split(k_occ)
+
+        # occupancy EMA on cadence from the spectral density — the planner
+        # consumes these binaries (mapper.planning); amortized cost only
+        def occ_eval_fn(x):
+            return (
+                spectral.query_density(params["main"], s_cfg, x)
+                * cfg.render_step_size
+            )
+
+        occ = maybe_update_occ_grid(
+            occ, occ_eval_fn, k_occ, step, occ_thre,
+            every_n=cfg.occ_every_n,
+            ema_decay=cfg.occ_ema_decay,
+            warmup_steps=cfg.occ_warmup_steps,
+        )
+
+        def loss_fn(p):
+            def field_fn(pos, dirs):
+                return spectral.forward(p["main"], s_cfg, pos, dirs)
+
+            def prop_density_fn(pos):
+                return spectral.query_density_field(p["prop"], p_cfg, pos)
+
+            out, p_loss = render_rays_prop(
+                field_fn, prop_density_fn,
+                batch.origins, batch.viewdirs, aabb, k_samp,
+                num_samples=cfg.max_samples_train,
+                num_prop_samples=cfg.num_prop_samples,
+                near_plane=cfg.near_plane,
+                render_bkgd=batch.color_bkgd,
+                stratified=True,
+            )
+            l_rgb = jnp.mean(optax.huber_loss(out["rgb"], batch.pixels))
+            l_dep = jnp.mean(optax.huber_loss(out["depth"][:, 0], batch.depth))
+            l_sem = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    out["sem"], batch.sem
+                )
+            )
+            loss = (
+                l_rgb * 10.0 + l_dep / 5.0 + l_sem / 2.0
+                + cfg.prop_loss_weight * p_loss
+            )
+            return loss, (l_rgb, l_dep, l_sem, out["n_samples"])
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
+        bad = ~jnp.all(jnp.isfinite(flat_grads))
+        safe_grads = jax.tree.map(jnp.nan_to_num, grads)
+        updates, new_opt_state = opt.update(safe_grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(bad, b, a), new, old
+        )
+        return (
+            keep(new_params, params),
+            keep(new_opt_state, opt_state),
+            occ,
+            loss,
+            aux[0], aux[1], aux[2], aux[3],
+            bad,
+        )
+
+    return member_core
+
+
+def make_flagship_train_phase(
+    cfg: PipelineConfig, schedule: Optional[Callable] = None,
+    batch_constraint=None,
+):
+    """lax.scan multi-step phase over the flagship member core (same
+    signature as ``phase.make_train_phase``)."""
+    return make_train_phase(
+        cfg, schedule=schedule, batch_constraint=batch_constraint,
+        member_core=make_flagship_member_core(cfg, schedule),
+    )

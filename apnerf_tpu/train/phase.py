@@ -73,14 +73,19 @@ def _sample_pool_index(
 
 
 def make_train_phase(cfg: PipelineConfig, schedule=None,
-                     batch_constraint=None):
+                     batch_constraint=None, member_core=None):
     """Returns phase_fn(state, images, depths, semantics, camtoworlds, K,
     pools, counts, size, key, occ_thre, recent_bias) -> (state, losses)
 
     with losses [steps_per_call, E]; steps_per_call is baked at trace time
     from key's leading dim: pass key of shape [steps_per_call, 2].
+
+    ``member_core`` defaults to the occ-grid NGP core; the flagship
+    (spectral + proposal) path passes its own core with the same
+    signature (train/flagship.py).
     """
-    member_core = make_member_core(cfg, schedule)
+    if member_core is None:
+        member_core = make_member_core(cfg, schedule)
 
     @jax.jit
     def phase_fn(

@@ -1,16 +1,26 @@
-"""Benchmark: ensemble training throughput of the flagship NGP semantic
-field, full production size, on real hardware.
+"""Benchmark: ensemble training throughput of the flagship field at full
+production size on real hardware.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Flagship = spectral field + proposal sampling (see models/spectral.py and
+render/prop_renderer.py for the measured hardware rationale); the NGP
+hash + occ-grid path remains available behind config knobs.
+
 Metric: training samples/sec across the whole ensemble (2 members x
-2048 rays x 128 samples = 524288 field samples per optimizer step, the
+2048 rays x 128 samples = 524288 field samples per optimizer step — the
 reference's 262144-samples-per-member budget, config_102344250.yaml:4).
 
 Baseline: the reference stack's implied training throughput — nerfacc docs
 report Instant-NGP + occ-grid at 20k steps x 2^18 samples in 269 s on a
 TITAN RTX (perception/nerfacc/docs/source/examples/static/ngp.rst:40-42),
 i.e. ~1.95e7 samples/s. vs_baseline = value / 1.95e7.
+
+Timing notes (hard-won, see scripts/profile_honest2.py): on the axon
+tunnel, `block_until_ready` can return without the program having
+executed, so every measurement forces a scalar float() readback; steps
+are batched in lax.scan chunks of <=10 (longer scans faulted the TPU in
+round 1) so the ~30 ms per-call readback floor amortizes.
 """
 
 import json
@@ -25,12 +35,18 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 20000 * 262144 / 269.0  # ≈ 1.95e7
+STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "25"))
+N_CALLS = int(os.environ.get("BENCH_N_CALLS", "4"))
 
 
 def main():
     from apnerf_tpu.config import PipelineConfig
     from apnerf_tpu.data.dataset import RayDataset
-    from apnerf_tpu.train.step import init_ensemble, make_train_step
+    from apnerf_tpu.train.flagship import (
+        init_flagship_ensemble,
+        make_flagship_train_phase,
+    )
+    from apnerf_tpu.train.phase import pools_from_dataset
 
     cfg = PipelineConfig(
         # production scene 102344250 values
@@ -58,45 +74,41 @@ def main():
         c2ws,
     )
 
-    from apnerf_tpu.train.phase import make_train_phase, pools_from_dataset
-
-    state = init_ensemble(jax.random.PRNGKey(0), cfg)
-    # realistic mid-training occupancy: ~15% cells occupied; past warmup
-    occ_bin = (
-        jax.random.uniform(jax.random.PRNGKey(1), state.occ.binaries.shape) < 0.15
-    )
-    state = state._replace(
-        occ=state.occ._replace(binaries=occ_bin), step=jnp.asarray(1000)
-    )
-    phase_fn = make_train_phase(cfg)
+    state = init_flagship_ensemble(jax.random.PRNGKey(0), cfg)
+    state = state._replace(step=jnp.asarray(1000))
+    phase_fn = make_flagship_train_phase(cfg)
     pools, counts = pools_from_dataset(ds)
     size = jnp.asarray(ds.size, dtype=jnp.int32)
     thre = jnp.asarray(1e-3)
     bias = jnp.asarray(False)
 
-    def run_chunk(state, key, n):
-        keys = jax.random.split(key, n)
-        return phase_fn(
+    def run_chunk(state, key):
+        keys = jax.random.split(key, STEPS_PER_CALL)
+        state, losses = phase_fn(
             state, ds.images, ds.depths, ds.semantics, ds.camtoworlds, ds.K,
             pools, counts, size, keys, thre, bias,
         )
+        return state, losses
 
-    n_steps = 50
-    # warmup / compile
-    state, loss = run_chunk(state, jax.random.PRNGKey(2), n_steps)
-    jax.block_until_ready(loss)
+    # warmup / compile — force execution with a scalar readback
+    state, loss = run_chunk(state, jax.random.PRNGKey(2))
+    _ = float(jnp.sum(loss))
 
     t0 = time.perf_counter()
-    state, loss = run_chunk(state, jax.random.PRNGKey(3), n_steps)
-    jax.block_until_ready(loss)
+    for i in range(N_CALLS):
+        state, loss = run_chunk(state, jax.random.PRNGKey(3 + i))
+    # the float() synchronizes the LAST chunk; chunks are chained through
+    # `state`, so all N_CALLS chunks must have executed before it returns
+    assert np.isfinite(float(jnp.sum(loss)))
     dt = time.perf_counter() - t0
 
+    n_steps = STEPS_PER_CALL * N_CALLS
     samples_per_step = cfg.n_ensembles * cfg.num_rays * cfg.max_samples_train
     value = samples_per_step * n_steps / dt
     print(
         json.dumps(
             {
-                "metric": "ngp_ensemble_train_throughput",
+                "metric": "flagship_ensemble_train_throughput",
                 "value": round(value, 1),
                 "unit": "samples/sec",
                 "vs_baseline": round(value / BASELINE_SAMPLES_PER_SEC, 3),

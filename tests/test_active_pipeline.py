@@ -130,12 +130,12 @@ def test_planning_loop_and_artifacts(mapper):
 def test_checkpoint_roundtrip(mapper):
     from apnerf_tpu.active.mapper import ActiveNeRFMapper
 
-    before = np.asarray(mapper.state.params["mlp_base"]["w0"])
+    before = np.asarray(mapper.state.params["main"]["mlp_base"]["w0"])
     cfg = mapper.cfg
     sim = mapper.sim
     m2 = ActiveNeRFMapper(cfg, sim, save_path=mapper.save_path + "_2", seed=1)
     m2.load_checkpoints(os.path.join(mapper.save_path, "checkpoints"))
-    after = np.asarray(m2.state.params["mlp_base"]["w0"])
+    after = np.asarray(m2.state.params["main"]["mlp_base"]["w0"])
     np.testing.assert_allclose(before, after)
     np.testing.assert_array_equal(
         np.asarray(mapper.state.occ.binaries), np.asarray(m2.state.occ.binaries)
@@ -151,6 +151,28 @@ def test_checkpoint_roundtrip(mapper):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert int(m2.state.step) == int(mapper.state.step)
+
+
+def test_mapper_ngp_occ_parity_path(tmp_path):
+    """The reference-parity configuration (NGP hash field + occupancy-grid
+    marching) still drives the full mapper: train, eval, uncertainty."""
+    from apnerf_tpu.active.mapper import ActiveNeRFMapper
+
+    cfg = tiny_pipeline_cfg(tmp_path)
+    cfg.field_type = "ngp"
+    cfg.sampler_type = "occ"
+    sim = FakeSim(aabb=AABB, img_w=cfg.img_w, img_h=cfg.img_h)
+    m = ActiveNeRFMapper(
+        cfg, sim, save_path=str(tmp_path / "occ"), seed=1,
+        eval_scale=0.25, unc_scale=0.15, max_samples_unc=32,
+        checkpoint_every=10_000,
+    )
+    m.initialization(initial_samples=4)
+    losses = m.nerf_training(20, initial_train=True, planning_step=-1)
+    assert all(np.isfinite(l) for l in losses)
+    traj = np.tile(np.array([-2.0, 1.5, -2.0, 0, 0, 0, 1.0]), (40, 1))
+    pi = m.probablistic_uncertainty(traj, step=1)
+    assert np.isfinite(pi)
 
 
 def test_resume_continues_training(mapper, tmp_path):
