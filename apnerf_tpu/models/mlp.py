@@ -164,6 +164,21 @@ def tnerf_forward(
     return vanilla_forward(params["base"], x + dx, direction, cfg.base)
 
 
+def tnerf_query_density(
+    params: dict,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    cfg: TNeRFConfig = TNeRFConfig(),
+):
+    """Density-only query through the time warp
+    (``mlp.py:273-277`` TNeRF.query_density)."""
+    xt = jnp.concatenate([x, jnp.broadcast_to(t, x[..., :1].shape)], axis=-1)
+    enc = sinusoidal_encode(xt, cfg.xt_min_deg, cfg.xt_max_deg, True)
+    dx = apply_mlp(params["warp"], enc, activation=jax.nn.relu)
+    dx = jnp.where(jnp.broadcast_to(t, x[..., :1].shape) == 0.0, 0.0, dx)
+    return vanilla_query_density(params["base"], x + dx, cfg.base)
+
+
 # ----------------------------------------------------------------------------
 # NDR-TNeRF: invertible (coupling-block) deformation field
 # (``mlp.py:286-395``; NDR, arxiv 2206.15258). Three coupling blocks, each

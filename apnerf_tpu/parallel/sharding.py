@@ -42,6 +42,31 @@ def make_sharded_train_step(
     return make_train_step(cfg, schedule=schedule, batch_constraint=constrain)
 
 
+def make_sharded_flagship_phase(cfg: PipelineConfig, mesh: Mesh, schedule=None):
+    """Multi-step flagship phase (spectral + proposal,
+    ``train/flagship.py``) with the same (ens, data) batch constraint —
+    the sharded form of the production train path."""
+    from ..train.flagship import make_flagship_train_phase
+
+    bsh = batch_sharding(mesh)
+
+    def constrain(batch):
+        return jax.tree.map(
+            lambda x: (
+                jax.lax.with_sharding_constraint(x, bsh)
+                if x.ndim >= 2
+                else jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("ens"))
+                )
+            ),
+            batch,
+        )
+
+    return make_flagship_train_phase(
+        cfg, schedule=schedule, batch_constraint=constrain
+    )
+
+
 def place_training(state: EnsembleState, dataset, mesh: Mesh):
     """Place state (ens-sharded) and the observation store (replicated)."""
     state = shard_ensemble_state(state, mesh)

@@ -77,6 +77,12 @@ def render_rays_prop(
         stratified=stratified,
         use_onehot=True,
     )
+    # Detach the sampled intervals, as nerfacc does (its estimator samples
+    # under torch.no_grad, prop_net.py:61-134): the proposal net learns
+    # only through prop_loss, and the main backward pass skips the
+    # d(positions)->d(spectrum) subgraph entirely.
+    t0 = jax.lax.stop_gradient(t0)
+    t1 = jax.lax.stop_gradient(t1)
 
     t_mid = 0.5 * (t0 + t1)
     pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]

@@ -16,6 +16,73 @@ from __future__ import annotations
 import numpy as np
 
 
+def pose7_to_state_quat(pose) -> tuple:
+    """[x y z qx qy qz qw] → (position [3], normalized quaternion in
+    habitat's (w, x, y, z) order). Pure numpy — the testable core of
+    ``_agent_state`` (⇔ reference ``simulator/sim.py:145-151`` which
+    normalizes and reorders the same way)."""
+    pose = np.asarray(pose, dtype=np.float64)
+    pos = pose[:3].copy()
+    q = pose[3:7]
+    n = np.linalg.norm(q)
+    if n == 0:
+        raise ValueError("zero quaternion")
+    q = q / n
+    return pos, np.array([q[3], q[0], q[1], q[2]])
+
+
+def look_at_quaternion(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Rotation (w, x, y, z) of a camera at ``eye`` looking at ``target``
+    with -z forward (the GL/habitat convention). Pure-numpy equivalent of
+    ``mn.Quaternion.from_matrix(mn.Matrix4.look_at(...).rotation())`` used
+    by the chase cam (⇔ reference ``simulator/sim.py:263-273``)."""
+    eye = np.asarray(eye, dtype=np.float64)
+    target = np.asarray(target, dtype=np.float64)
+    up = np.asarray(up, dtype=np.float64)
+    back = eye - target  # +z axis (camera looks down -z)
+    back = back / np.linalg.norm(back)
+    right = np.cross(up, back)
+    rn = np.linalg.norm(right)
+    if rn < 1e-12:  # looking straight up/down: pick an arbitrary right
+        right = np.array([1.0, 0.0, 0.0])
+    else:
+        right = right / rn
+    true_up = np.cross(back, right)
+    R = np.stack([right, true_up, back], axis=1)  # columns = x, y, z axes
+    # matrix → quaternion (w, x, y, z), Shepperd's method
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    return np.array([w, x, y, z])
+
+
+TOP_DOWN_CAMERA_QUAT = np.array([-7.07106781e-01, 7.07106781e-01, 0.0, 0.0])
+"""(w, x, y, z) straight-down camera rotation used by the top-down chase
+cam (⇔ reference ``simulator/sim.py:330-333``)."""
+
+
 def _require_habitat():
     try:
         import habitat_sim  # noqa: F401
@@ -99,12 +166,11 @@ class HabitatSim:
     def _agent_state(self, pose):
         habitat_sim = self._hs
         st = habitat_sim.AgentState()
-        st.position = np.asarray(pose[:3])
-        q = np.asarray(pose[3:7], dtype=np.float64)
-        q = q / np.linalg.norm(q)
+        pos, q_wxyz = pose7_to_state_quat(pose)
+        st.position = pos
         import quaternion  # numpy-quaternion, habitat dependency
 
-        st.rotation = quaternion.quaternion(q[3], q[0], q[1], q[2])
+        st.rotation = quaternion.quaternion(*q_wxyz)
         return st
 
     def set_quad_state(self, pose):
@@ -146,19 +212,15 @@ class HabitatSim:
             cam_pos[1] += 3.0
             st.sensor_states["third_person_view"].position = cam_pos
             st.sensor_states["third_person_view"].rotation = np.quaternion(
-                -7.07106781e-01, 7.07106781e-01, 0, 0
+                *TOP_DOWN_CAMERA_QUAT
             )
         else:
             cam_pos = st.sensor_states["third_person_view"].position
             cam_pos[1] = st.position[1] + 0.5
-            rot = mn.Quaternion.from_matrix(
-                mn.Matrix4.look_at(
-                    cam_pos, st.position, np.array([0, 1.0, 0])
-                ).rotation()
-            )
+            rot = look_at_quaternion(cam_pos, st.position)
             st.sensor_states["third_person_view"].position = cam_pos
             st.sensor_states["third_person_view"].rotation = np.quaternion(
-                rot.scalar, rot.vector[0], rot.vector[1], rot.vector[2]
+                *rot
             )
         self.quad_agent.set_state(st, infer_sensor_states=False)
         return self._sim.get_sensor_observations(0)["third_person_view"]

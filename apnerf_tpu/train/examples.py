@@ -219,3 +219,72 @@ def make_ngp_prop_trainer(
         )
 
     return state, step_fn
+
+
+def make_tnerf_occ_trainer(
+    aabb,
+    grid_resolution=(64, 64, 64),
+    render_step_size: float = 5e-3,
+    max_samples: int = 128,
+    n_candidates: int = 512,
+    lr: float = 5e-4,
+    tnerf_cfg: Optional[mlpmod.TNeRFConfig] = None,
+    seed: int = 42,
+):
+    """Time-conditioned T-NeRF + occ grid (⇔ the reference's
+    ``perception/models/train_mlp_tnerf.py``, which trains
+    ``TNeRFRadianceField`` on D-NeRF scenes: time-warped field, occ grid
+    updated with densities at randomly drawn timestamps —
+    ``mlp.py:264-272`` query_opacity draws random t per cell).
+
+    step_fn takes (state, origins, viewdirs, pixels, timestamps [R], bkgd,
+    key) — timestamps per ray, as the D-NeRF loader provides.
+    """
+    cfg = tnerf_cfg or mlpmod.TNeRFConfig()
+    params = mlpmod.init_tnerf(jax.random.PRNGKey(seed), cfg)
+    occ = init_occ_grid(aabb, grid_resolution)
+    opt = optax.adam(lr)
+    lattice = jnp.asarray(
+        candidate_lattice(n_candidates, 0.0, render_step_size, 0.0)
+    )
+    state = {"params": params, "opt": opt.init(params), "occ": occ,
+             "step": jnp.asarray(0)}
+
+    @jax.jit
+    def step_fn(state, origins, viewdirs, pixels, timestamps, bkgd, key):
+        params, occ = state["params"], state["occ"]
+        k_occ, k_t = jax.random.split(key)
+
+        def occ_eval(x):
+            # random timestamp per queried cell (mlp.py:264-272)
+            t = jax.random.uniform(k_t, x.shape[:-1] + (1,))
+            return mlpmod.tnerf_query_density(params, x, t, cfg) * (
+                render_step_size
+            )
+
+        occ = maybe_update_occ_grid(occ, occ_eval, k_occ, state["step"],
+                                    jnp.asarray(1e-2))
+
+        def loss_fn(p):
+            def field(pos, dirs):
+                # per-ray timestamp broadcast over samples
+                t = jnp.broadcast_to(
+                    timestamps[:, None, None], pos.shape[:-1] + (1,)
+                )
+                return mlpmod.tnerf_forward(p, pos, t, dirs, cfg)
+
+            out = render_train(field, origins, viewdirs, occ, lattice,
+                               max_samples, bkgd, alpha_thre=0.0,
+                               occ_mean=jnp.mean(occ.occs))
+            return jnp.mean((out["rgb"] - pixels) ** 2), out
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, state["opt"])
+        params = optax.apply_updates(params, updates)
+        return (
+            {"params": params, "opt": opt_state, "occ": occ,
+             "step": state["step"] + 1},
+            loss,
+        )
+
+    return state, step_fn

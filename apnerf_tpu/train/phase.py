@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import os
 import jax.numpy as jnp
 
 from ..config import PipelineConfig
@@ -130,7 +131,10 @@ def make_train_phase(cfg: PipelineConfig, schedule=None,
             )
             return new_state, loss
 
-        state, losses = jax.lax.scan(one_step, state, keys)
+        state, losses = jax.lax.scan(
+            one_step, state, keys,
+            unroll=int(os.environ.get("APNERF_SCAN_UNROLL", "1")),
+        )
         return state, losses
 
     return phase_fn

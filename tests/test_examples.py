@@ -81,3 +81,39 @@ def test_ngp_prop_trainer_steps():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 1.5  # trains stably
+
+
+def test_tnerf_occ_trainer_steps():
+    """T-NeRF trainer (⇔ train_mlp_tnerf.py): steps run, loss finite and
+    decreasing on a static-scene batch with varying timestamps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from apnerf_tpu.models.mlp import TNeRFConfig, VanillaNeRFConfig
+    from apnerf_tpu.train.examples import make_tnerf_occ_trainer
+
+    aabb = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+    state, step_fn = make_tnerf_occ_trainer(
+        aabb, grid_resolution=(8, 8, 8), render_step_size=0.05,
+        max_samples=16, n_candidates=64, lr=1e-3,
+        tnerf_cfg=TNeRFConfig(
+            base=VanillaNeRFConfig(net_depth=2, net_width=32),
+            warp_depth=2, warp_width=16,
+        ),
+    )
+    R = 64
+    key = jax.random.PRNGKey(0)
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, 2.0]]), (R, 1))
+    d = jax.random.normal(key, (R, 3)) * 0.1 + jnp.asarray([0.0, 0.0, -1.0])
+    viewdirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pixels = jnp.ones((R, 3)) * 0.5
+    ts = jax.random.uniform(jax.random.PRNGKey(1), (R,))
+    bkgd = jnp.ones(3)
+    losses = []
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        state, loss = step_fn(state, origins, viewdirs, pixels, ts, bkgd, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
