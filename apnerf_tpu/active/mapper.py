@@ -128,9 +128,14 @@ class ActiveNeRFMapper:
             self._make_phase = make_train_phase
 
         # the active LR schedule — swapped by nerf_training(final_train=True)
-        self._schedule = cyclic_lr(
-            cfg.lr_base, cfg.lr, max(cfg.training_steps // 4, 1)
-        )
+        if self.use_prop:
+            from ..train.flagship import default_spectral_schedule
+
+            self._schedule = default_spectral_schedule(cfg)
+        else:
+            self._schedule = cyclic_lr(
+                cfg.lr_base, cfg.lr, max(cfg.training_steps // 4, 1)
+            )
         self.train_phase_fn = self._make_phase(cfg)
         # steps per compiled scan chunk: large enough to amortize dispatch,
         # small enough to keep checkpoint/LR bookkeeping cadence. The occ

@@ -98,6 +98,11 @@ class PipelineConfig:
     spectral_layers: int = 3
     spectral_freqs_per_level: int = 8
     prop_loss_weight: float = 1.0
+    # spectral fields train best above the hash-grid's reference lr of
+    # 1e-3: FakeSim 640^2 sweep at the pipeline's 2000-step budget
+    # (scripts/quality_sweep.py): PSNR 22.4 / depthMSE 0.40 / semAcc 0.971
+    # at 6e-3 vs PSNR 20.0 / 0.91 / 0.964 at 3e-3
+    spectral_lr: float = 6e-3
 
     # poses (yaml:34-101)
     global_origin: Tuple[float, ...] = (

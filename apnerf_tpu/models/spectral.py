@@ -117,7 +117,13 @@ def _normalize(cfg: SpectralConfig, x: jnp.ndarray):
 
 def spectral_encode(params: dict, cfg: SpectralConfig, u: jnp.ndarray):
     """[..., 3] unit-cube coords → [..., 2M] spectral features (one
-    matmul + sin/cos on the VPU)."""
+    matmul + sin/cos on the VPU).
+
+    The phase accumulates in f32 (bf16's 8 mantissa bits cannot represent
+    x·f for f up to 4096 accurately enough for cos), but the features cast
+    to the compute dtype AT the cos/sin so XLA fuses the convert into the
+    elementwise op — a standalone [N, 2M] f32→bf16 convert measured
+    1.2 ms/step in the production trace."""
     dt = cfg.dtype
     proj = (
         jnp.dot(
@@ -127,7 +133,9 @@ def spectral_encode(params: dict, cfg: SpectralConfig, u: jnp.ndarray):
         * (2 * np.pi)
         + params["phase"]
     )
-    return jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=-1)
+    return jnp.concatenate(
+        [jnp.cos(proj).astype(dt), jnp.sin(proj).astype(dt)], axis=-1
+    )
 
 
 def query_density(

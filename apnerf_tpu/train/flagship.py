@@ -29,8 +29,20 @@ from ..config import PipelineConfig
 from ..models import spectral
 from ..ops.occupancy import init_occ_grid, maybe_update_occ_grid
 from ..render.prop_renderer import render_rays_prop
+from .schedule import cyclic_lr
 from .step import EnsembleState, make_optimizer
 from .phase import make_train_phase
+
+
+def default_spectral_schedule(cfg: PipelineConfig):
+    """Cyclic LR anchored at cfg.spectral_lr — spectral fields train best
+    above the hash grid's 1e-3 (FakeSim 640^2 sweep at 2000 steps:
+    PSNR 22.4 @ 6e-3 vs 20.0 @ 3e-3 vs ~16 @ 1e-3,
+    scripts/quality_sweep.py)."""
+    return cyclic_lr(
+        cfg.spectral_lr / 10.0, cfg.spectral_lr,
+        max(cfg.training_steps // 4, 1),
+    )
 
 
 def make_spectral_config(cfg: PipelineConfig) -> spectral.SpectralConfig:
@@ -62,7 +74,7 @@ def init_flagship_ensemble(
     """Stacked ensemble state with params = {"main": ..., "prop": ...}."""
     s_cfg = make_spectral_config(cfg)
     p_cfg = make_prop_config(cfg)
-    opt = make_optimizer(cfg, schedule)
+    opt = make_optimizer(cfg, schedule or default_spectral_schedule(cfg))
     keys = jax.random.split(key, cfg.n_ensembles)
 
     def one(k):
@@ -89,7 +101,7 @@ def make_flagship_member_core(
     sharded path can consume it unchanged."""
     s_cfg = make_spectral_config(cfg)
     p_cfg = make_prop_config(cfg)
-    opt = make_optimizer(cfg, schedule)
+    opt = make_optimizer(cfg, schedule or default_spectral_schedule(cfg))
     aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
 
     def member_core(params, opt_state, occ, batch, k_occ, step, occ_thre):
