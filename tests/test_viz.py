@@ -72,3 +72,35 @@ def test_render_comparison_with_mapper(tmp_path):
     assert f.dtype == np.uint8 and f.ndim == 3 and f.shape[2] == 3
     # six panels wide (gt/pred x rgb/depth/sem)
     assert f.shape[1] > 6 * 10
+
+
+def test_interactive_viewer_scripted(tmp_path):
+    """The interactive viewer (⇔ vis_nerf_habitat.py) drives headlessly:
+    keys move the camera, frames render and land in out_dir, x quits."""
+    import numpy as np
+
+    import tests.test_active_pipeline as tap
+    from apnerf_tpu.active.mapper import ActiveNeRFMapper
+    from apnerf_tpu.sim.fake import FakeSim
+    from apnerf_tpu.viz.interactive import InteractiveViewer
+
+    cfg = tap.tiny_pipeline_cfg(tmp_path)
+    sim = FakeSim(aabb=tap.AABB, img_w=cfg.img_w, img_h=cfg.img_h)
+    m = ActiveNeRFMapper(cfg, sim, save_path=str(tmp_path / "v"), seed=0)
+    m.initialization(initial_samples=3)
+    viewer = InteractiveViewer(m, out_dir=str(tmp_path / "frames"),
+                               scale=0.25)
+    pos0 = viewer.pos.copy()
+    frames = viewer.run_scripted("wqx")
+    assert len(frames) == 2  # w and q render; x quits
+    assert not np.allclose(viewer.pos, pos0)  # w moved the camera
+    assert abs(viewer.yaw) > 0  # q yawed
+    import os
+
+    files = sorted(os.listdir(tmp_path / "frames"))
+    assert len(files) == 2
+    f = frames[0]
+    assert f.ndim == 3 and f.shape[-1] == 3 and f.dtype == np.uint8
+    # 4 panels: GT | rgb | depth | sem
+    oh = int(cfg.img_h * 0.25)
+    assert f.shape[1] > 3 * int(cfg.img_w * 0.25)
