@@ -386,8 +386,10 @@ class ActiveNeRFMapper:
         from ..train.phase import make_train_phase, pools_from_dataset
 
         if final_train:
-            # MultiStepLR refit (pipeline.py:359-369)
-            sched = multistep_lr(cfg.lr, [int(steps * 0.3), int(steps * 0.8)])
+            # MultiStepLR refit (pipeline.py:359-369); the flagship field
+            # anchors at its own lr (see config.spectral_lr)
+            base_lr = cfg.spectral_lr if self.use_prop else cfg.lr
+            sched = multistep_lr(base_lr, [int(steps * 0.3), int(steps * 0.8)])
             self.state = reset_opt_state(self.state, cfg, sched)
             self.train_phase_fn = self._make_phase(cfg, schedule=sched)
             self._schedule = sched
@@ -491,6 +493,31 @@ class ActiveNeRFMapper:
             cfg.num_semantic_classes,
         )
         self.metrics_ext_hist.append([float(planning_step), lp, float(mi)])
+        # test-view prediction dumps (the reference creates prediction/
+        # inside its dead eval block, pipeline.py:646-648; we also fill it)
+        import imageio.v2 as imageio
+
+        from ..viz.render_views import colorize_depth, colorize_semantics
+
+        pred_dir = os.path.join(self.save_path, "prediction")
+        os.makedirs(pred_dir, exist_ok=True)
+        tag = f"p{planning_step}"
+        for i in range(n_img):
+            imageio.imwrite(
+                os.path.join(pred_dir, f"{tag}_{i}_rgb.png"),
+                (np.clip(pd_rgb[i], 0, 1) * 255).astype(np.uint8),
+            )
+            imageio.imwrite(
+                os.path.join(pred_dir, f"{tag}_{i}_dep.png"),
+                colorize_depth(pd_dep[i]),
+            )
+            imageio.imwrite(
+                os.path.join(pred_dir, f"{tag}_{i}_sem.png"),
+                colorize_semantics(
+                    np.argmax(pd_sem_logits[i], axis=-1),
+                    cfg.num_semantic_classes,
+                ),
+            )
         return row
 
     # ------------------------------------------------------------------

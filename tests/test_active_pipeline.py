@@ -130,6 +130,7 @@ def test_planning_loop_and_artifacts(mapper):
 def test_checkpoint_roundtrip(mapper):
     from apnerf_tpu.active.mapper import ActiveNeRFMapper
 
+    mapper.save_checkpoints()  # independent of the planning test's output
     before = np.asarray(mapper.state.params["main"]["mlp_base"]["w0"])
     cfg = mapper.cfg
     sim = mapper.sim
