@@ -104,3 +104,33 @@ def test_interactive_viewer_scripted(tmp_path):
     # 4 panels: GT | rgb | depth | sem
     oh = int(cfg.img_h * 0.25)
     assert f.shape[1] > 3 * int(cfg.img_w * 0.25)
+
+
+def test_make_video_composes_run_layout(tmp_path):
+    """compose_demo_frames reads the mapper's viz layout and builds
+    paneled frames (⇔ make_demo.py)."""
+    import numpy as np
+    import imageio.v2 as imageio
+
+    from apnerf_tpu.viz.make_video import compose_demo_frames
+
+    viz = tmp_path / "viz"
+    (viz / "top").mkdir(parents=True)
+    for sub in ("gt_rgb", "pd_rgb", "gt_dep", "pd_dep", "gt_sem", "pd_sem"):
+        (viz / "fpv" / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        imageio.imwrite(viz / f"{i}.png",
+                        (rng.rand(16, 16, 3) * 255).astype(np.uint8))
+        imageio.imwrite(viz / "top" / f"{i}.png",
+                        (rng.rand(16, 16, 3) * 255).astype(np.uint8))
+        for sub in ("gt_rgb", "pd_rgb", "gt_dep", "pd_dep", "gt_sem",
+                    "pd_sem"):
+            imageio.imwrite(viz / "fpv" / sub / f"{i}.png",
+                            (rng.rand(8, 8, 3) * 255).astype(np.uint8))
+    frames = compose_demo_frames(str(tmp_path))
+    assert len(frames) == 3
+    f = frames[0]
+    # tpv + top + 3 stacked fpv columns
+    assert f.shape[1] >= 16 * 2 + 8 * 3
+    assert f.dtype == np.uint8
