@@ -67,6 +67,63 @@ def make_sharded_flagship_phase(cfg: PipelineConfig, mesh: Mesh, schedule=None):
     )
 
 
+def make_sharded_candidate_renderer(
+    cfg: PipelineConfig, mesh: Mesh, max_samples: int,
+    with_variance: bool = True,
+):
+    """Ensemble render of candidate-trajectory views with the RAY axis
+    sharded over ``data`` and members over ``ens`` — the second hot load
+    of the system (20 traj × 40 views × 64² rays × 2 members per planning
+    step, reference ``pipeline.py:666-798``) as a multi-chip program
+    (SURVEY.md §2.5: "shard ... the view axis of candidate-trajectory
+    rendering").
+
+    Returns render(params, origins [V, P, 3], viewdirs, bkgd) →
+    outs dict with leaves [E, V, P, ...] (flagship spectral+prop path).
+    """
+    import jax.numpy as jnp
+
+    from ..models import spectral
+    from ..render.prop_renderer import render_rays_prop
+    from ..train.flagship import make_prop_config, make_spectral_config
+
+    s_cfg = make_spectral_config(cfg)
+    p_cfg = make_prop_config(cfg)
+    aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
+    ray_sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def render(params, origins, viewdirs, bkgd):
+        V, Pr, _ = origins.shape
+        ro = jax.lax.with_sharding_constraint(
+            origins.reshape(V * Pr, 3), ray_sh
+        )
+        rd = jax.lax.with_sharding_constraint(
+            viewdirs.reshape(V * Pr, 3), ray_sh
+        )
+
+        def member(p):
+            outs, _ = render_rays_prop(
+                lambda pos, dirs: spectral.forward(p["main"], s_cfg, pos, dirs),
+                lambda pos: spectral.query_density_field(p["prop"], p_cfg, pos),
+                ro, rd, aabb, jax.random.PRNGKey(0),
+                num_samples=max_samples,
+                num_prop_samples=cfg.num_prop_samples,
+                near_plane=cfg.near_plane, render_bkgd=bkgd,
+                stratified=False, with_variance=with_variance,
+            )
+            return outs
+
+        outs = jax.vmap(member)(params)
+        return jax.tree.map(
+            lambda x: x.reshape((x.shape[0], V, Pr) + x.shape[2:])
+            if x.ndim >= 2 else x,
+            outs,
+        )
+
+    return render
+
+
 def place_training(state: EnsembleState, dataset, mesh: Mesh):
     """Place state (ens-sharded) and the observation store (replicated)."""
     state = shard_ensemble_state(state, mesh)

@@ -163,3 +163,60 @@ def test_sharded_flagship_phase_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(losses_ref), np.asarray(losses_sh), rtol=1e-2, atol=1e-3
     )
+
+
+@requires_8
+def test_sharded_candidate_renderer_matches_unsharded():
+    """Candidate-view rendering sharded over (ens, data) equals the plain
+    per-member render (layout, not math)."""
+    import __graft_entry__ as g
+    from apnerf_tpu.models import spectral
+    from apnerf_tpu.parallel.sharding import make_sharded_candidate_renderer
+    from apnerf_tpu.render.prop_renderer import render_rays_prop
+    from apnerf_tpu.train.flagship import (
+        init_flagship_ensemble,
+        make_prop_config,
+        make_spectral_config,
+    )
+
+    cfg = g._tiny_cfg(n_ensembles=2)
+    state = init_flagship_ensemble(jax.random.PRNGKey(0), cfg)
+    V, P_ = 4, 64
+    key = jax.random.PRNGKey(1)
+    origins = jax.random.uniform(key, (V, P_, 3), minval=-0.5, maxval=0.5)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (V, P_, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    bkgd = jnp.zeros(3)
+
+    mesh = make_mesh(n_ens=2)
+    params = jax.tree.map(
+        lambda x: jax.device_put(x, ensemble_sharding(mesh)), state.params
+    )
+    with jax.set_mesh(mesh):
+        render = make_sharded_candidate_renderer(
+            cfg, mesh, max_samples=16, with_variance=True
+        )
+        outs = render(params, origins, dirs, bkgd)
+
+    # unsharded reference: member 1 rendered flat
+    s_cfg = make_spectral_config(cfg)
+    p_cfg = make_prop_config(cfg)
+    p1 = jax.tree.map(lambda x: x[1], state.params)
+    ref, _ = render_rays_prop(
+        lambda pos, d: spectral.forward(p1["main"], s_cfg, pos, d),
+        lambda pos: spectral.query_density_field(p1["prop"], p_cfg, pos),
+        origins.reshape(-1, 3), dirs.reshape(-1, 3),
+        jnp.asarray(cfg.aabb, jnp.float32), jax.random.PRNGKey(0),
+        num_samples=16, num_prop_samples=cfg.num_prop_samples,
+        near_plane=cfg.near_plane, render_bkgd=bkgd,
+        stratified=False, with_variance=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["rgb"][1]).reshape(-1, 3), np.asarray(ref["rgb"]),
+        rtol=5e-3, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["rgb_var"][1]).reshape(-1, 3),
+        np.asarray(ref["rgb_var"]), rtol=5e-3, atol=5e-4,
+    )
+    assert outs["rgb"].shape == (2, V, P_, 3)
