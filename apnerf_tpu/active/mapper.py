@@ -139,9 +139,11 @@ class ActiveNeRFMapper:
         self.train_phase_fn = self._make_phase(cfg)
         # steps per compiled scan chunk: large enough to amortize dispatch,
         # small enough to keep checkpoint/LR bookkeeping cadence. The occ
-        # path caps at 10: 25+-step scans of the hash+lattice program
-        # faulted the v5e in round 1 (VERDICT r1 weak #1).
-        cap = 25 if self.use_prop else 10
+        # path caps at 5: long scans of the hash+lattice program fault the
+        # v5e (r1: 25-step scans faulted; re-bisected 2026-08-16 after the
+        # layout rewrites: 10 faults, 5 runs). The flagship path runs 25+
+        # cleanly.
+        cap = 25 if self.use_prop else 5
         self.steps_per_call = min(cap, max(cfg.training_steps, 1))
 
         aabb = np.asarray(cfg.aabb)
