@@ -80,9 +80,17 @@ class ActiveNeRFMapper:
         unc_scale: float = 0.1,
         max_samples_unc: int = 256,
         checkpoint_every: int = 1000,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with ("ens", "data")
+        axes (``parallel/mesh.make_mesh``). When given, the train phase and
+        the candidate/eval renderers run sharded — members over ``ens``,
+        rays over ``data`` — and the ensemble state + observation stores
+        are placed accordingly. Flagship (spectral+prop) path only; the
+        reference has no distributed mode at all (SURVEY.md §2.5)."""
         self.cfg = cfg
         self.sim = sim
+        self.mesh = mesh
         self.save_path = save_path or os.path.join(
             cfg.save_path, datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
         )
@@ -97,14 +105,14 @@ class ActiveNeRFMapper:
         # field/sampler selection: "spectral"+"prop" is the TPU flagship
         # (models/spectral.py, render/prop_renderer.py); "ngp"+"occ" is the
         # exact reference-parity path. Mixed combinations are not wired.
-        self.use_prop = cfg.sampler_type == "prop"
-        if cfg.field_type == "spectral" and not self.use_prop or (
-            cfg.field_type == "ngp" and self.use_prop
+        if (cfg.field_type, cfg.sampler_type) not in (
+            ("spectral", "prop"), ("ngp", "occ")
         ):
             raise ValueError(
                 "supported (field_type, sampler_type): (spectral, prop) "
                 f"or (ngp, occ); got ({cfg.field_type}, {cfg.sampler_type})"
             )
+        self.use_prop = cfg.sampler_type == "prop"
         from ..train.phase import make_train_phase
         from ..train.schedule import cyclic_lr
 
@@ -116,16 +124,35 @@ class ActiveNeRFMapper:
                 make_spectral_config,
             )
 
+            from ..train.flagship import make_flagship_occ_update
+
             self.spectral_cfg = make_spectral_config(cfg)
             self.prop_cfg = make_prop_config(cfg)
             self.state: EnsembleState = init_flagship_ensemble(
                 self._next_key(), cfg
             )
             self._make_phase = make_flagship_train_phase
+            # flagship occ EMA runs once per scan chunk, outside the scan
+            # (train/flagship.py make_flagship_occ_update)
+            self._occ_update_fn = make_flagship_occ_update(cfg)
+            if mesh is not None:
+                from ..parallel.mesh import shard_ensemble_state
+                from ..parallel.sharding import make_sharded_flagship_phase
+
+                self._make_phase = partial(
+                    make_sharded_flagship_phase, mesh=mesh
+                )
+                self.state = shard_ensemble_state(self.state, mesh)
         else:
+            if mesh is not None:
+                raise ValueError(
+                    "mesh mode is wired for the flagship path "
+                    "(field_type='spectral', sampler_type='prop') only"
+                )
             self.ngp_cfg = make_ngp_config(cfg)
             self.state = init_ensemble(self._next_key(), cfg)
             self._make_phase = make_train_phase
+            self._occ_update_fn = None  # occ path updates in-scan
 
         # the active LR schedule — swapped by nerf_training(final_train=True)
         if self.use_prop:
@@ -183,13 +210,36 @@ class ActiveNeRFMapper:
         self.throughput_log: List[dict] = []
         self.profile_dir: Optional[str] = None
 
-        # jitted ensemble renderers, built once
-        self._render_unc = self._build_ensemble_renderer(
-            max_samples_unc, with_variance=True
-        )
-        self._render_eval = self._build_ensemble_renderer(
-            cfg.max_samples_test, with_variance=False
-        )
+        # jitted ensemble renderers, built once. Signature:
+        # render(params, occ, origins [V,P,3], viewdirs, bkgd, key=None)
+        # — key seeds the sampler (None → deterministic PRNGKey(0),
+        # matching the reference's test-mode rendering).
+        if mesh is not None:
+            from ..parallel.sharding import make_sharded_candidate_renderer
+
+            r_unc = make_sharded_candidate_renderer(
+                cfg, mesh, max_samples_unc, with_variance=True
+            )
+            r_eval = make_sharded_candidate_renderer(
+                cfg, mesh, cfg.max_samples_test, with_variance=False
+            )
+            # the sharded renderer ignores occ (flagship path: the grid is
+            # planner-only state, not in the sampling path)
+            self._render_unc = (
+                lambda params, occ, o, v, bkgd, key=None:
+                r_unc(params, o, v, bkgd, key)
+            )
+            self._render_eval = (
+                lambda params, occ, o, v, bkgd, key=None:
+                r_eval(params, o, v, bkgd, key)
+            )
+        else:
+            self._render_unc = self._build_ensemble_renderer(
+                max_samples_unc, with_variance=True
+            )
+            self._render_eval = self._build_ensemble_renderer(
+                cfg.max_samples_test, with_variance=False
+            )
 
     # ------------------------------------------------------------------
     # helpers
@@ -210,7 +260,7 @@ class ActiveNeRFMapper:
             aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
 
             @jax.jit
-            def render(params, occ, origins, viewdirs, bkgd):
+            def render_jit(params, occ, origins, viewdirs, bkgd, key):
                 def member(p, o):
                     def field_fn(pos, dirs):
                         return spectral.forward(p["main"], s_cfg, pos, dirs)
@@ -223,8 +273,7 @@ class ActiveNeRFMapper:
                     def one_view(rays):
                         ro, rd = rays
                         outs, _ = render_rays_prop(
-                            field_fn, prop_fn, ro, rd, aabb,
-                            jax.random.PRNGKey(0),
+                            field_fn, prop_fn, ro, rd, aabb, key,
                             num_samples=max_samples,
                             num_prop_samples=cfg.num_prop_samples,
                             near_plane=cfg.near_plane,
@@ -237,12 +286,17 @@ class ActiveNeRFMapper:
 
                 return jax.vmap(member)(params, occ)
 
+            def render(params, occ, origins, viewdirs, bkgd, key=None):
+                if key is None:
+                    key = jax.random.PRNGKey(0)
+                return render_jit(params, occ, origins, viewdirs, bkgd, key)
+
             return render
 
         ngp_cfg = self.ngp_cfg
 
         @jax.jit
-        def render(params, occ, origins, viewdirs, bkgd):
+        def render_jit(params, occ, origins, viewdirs, bkgd):
             # origins/viewdirs: [V, P, 3]; map over views to bound memory,
             # vmap over ensemble members.
             def member(p, o):
@@ -261,6 +315,12 @@ class ActiveNeRFMapper:
                 return jax.lax.map(one_view, (origins, viewdirs))
 
             return jax.vmap(member)(params, occ)
+
+        def render(params, occ, origins, viewdirs, bkgd, key=None):
+            # lattice marching is deterministic (test-mode); key accepted
+            # for signature parity with the flagship renderer
+            del key
+            return render_jit(params, occ, origins, viewdirs, bkgd)
 
         return render
 
@@ -372,6 +432,13 @@ class ActiveNeRFMapper:
             )
             self._test_poses = np.array(test_poses)
 
+        if self.mesh is not None:
+            from ..parallel.sharding import place_training
+
+            self.state, self.train_dataset = place_training(
+                self.state, self.train_dataset, self.mesh
+            )
+
     # ------------------------------------------------------------------
     # phase 2: training (pipeline.py:354-664)
     # ------------------------------------------------------------------
@@ -383,7 +450,14 @@ class ActiveNeRFMapper:
         initial_train: bool = False,
         planning_step: int = -1,
         evaluate: bool = True,
+        pre_sync_hook=None,
     ):
+        """``pre_sync_hook``: optional host-side callable run AFTER all
+        train chunks are dispatched but BEFORE the loss readback — JAX
+        dispatch is async, so host work in the hook (viz encoding,
+        simulator rendering) overlaps device training instead of
+        serializing against it (SURVEY.md §7 "host/device loop structure";
+        the reference strictly alternates, ``pipeline.py:1025-1224``)."""
         cfg = self.cfg
         from ..train.phase import make_train_phase, pools_from_dataset
 
@@ -393,6 +467,10 @@ class ActiveNeRFMapper:
             base_lr = cfg.spectral_lr if self.use_prop else cfg.lr
             sched = multistep_lr(base_lr, [int(steps * 0.3), int(steps * 0.8)])
             self.state = reset_opt_state(self.state, cfg, sched)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_ensemble_state
+
+                self.state = shard_ensemble_state(self.state, self.mesh)
             self.train_phase_fn = self._make_phase(cfg, schedule=sched)
             self._schedule = sched
 
@@ -409,6 +487,9 @@ class ActiveNeRFMapper:
         import time as _time
 
         t_phase = _time.perf_counter()
+        # host-side step mirror: reading int(self.state.step) per chunk
+        # would force a device sync and serialize chunk dispatch
+        step0 = int(self.state.step)
         while done < steps:
             chunk = min(self.steps_per_call, steps - done)
             keys = jax.random.split(self._next_key(), chunk)
@@ -419,25 +500,39 @@ class ActiveNeRFMapper:
             )
             losses.append(jnp.mean(chunk_losses, axis=-1))  # [chunk]
             done += chunk
+            if self._occ_update_fn is not None:
+                self.state = self._occ_update_fn(
+                    self.state, self._next_key(), occ_thre
+                )
             # lr curve bookkeeping (pipeline.py:534-536)
-            self.learning_rate_lst.append(float(self._current_lr()))
+            self.learning_rate_lst.append(
+                float(self._schedule(step0 + done))
+            )
             if done % self.checkpoint_every < chunk:
                 self.save_checkpoints()
+        hook_s = 0.0
+        if pre_sync_hook is not None:
+            t_hook = _time.perf_counter()
+            pre_sync_hook()
+            hook_s = _time.perf_counter() - t_hook
         losses = [float(v) for arr in losses for v in np.asarray(arr)]
         # throughput observability (SURVEY.md §5: rays/sec/chip is the
         # north-star metric the reference never measured)
         dt = _time.perf_counter() - t_phase
         samples = steps * cfg.n_ensembles * cfg.num_rays * cfg.max_samples_train
-        self.throughput_log.append(
-            {
-                "planning_step": planning_step,
-                "steps": steps,
-                "seconds": dt,
-                "samples_per_sec": samples / max(dt, 1e-9),
-                "rays_per_sec": steps * cfg.n_ensembles * cfg.num_rays
-                / max(dt, 1e-9),
-            }
-        )
+        entry = {
+            "planning_step": planning_step,
+            "steps": steps,
+            "seconds": dt,
+            "samples_per_sec": samples / max(dt, 1e-9),
+            "rays_per_sec": steps * cfg.n_ensembles * cfg.num_rays
+            / max(dt, 1e-9),
+        }
+        if pre_sync_hook is not None:
+            # wall-clock the hook's host work shared with device training;
+            # samples_per_sec is a lower bound for such entries
+            entry["overlapped_host_seconds"] = hook_s
+        self.throughput_log.append(entry)
         if evaluate and self.test_dataset is not None and (
             final_train or planning_step == 0 or (planning_step + 1) % 2 == 0
             or planning_step == -1
@@ -717,8 +812,6 @@ class ActiveNeRFMapper:
             fly_poses = chosen[unc_idx]
 
             images, depths, sems = self.sim.sample_images_from_poses(fly_poses)
-            if self.save_viz:
-                self.render(fly_poses)
             mats = [pose_matrix_from_quat(p[:3], p[3:]) for p in fly_poses]
             # cost map from the last 6 views (pipeline.py:1115-1138)
             for mat, d in zip(mats[-6:], depths[-6:]):
@@ -729,8 +822,18 @@ class ActiveNeRFMapper:
             current_state = fly_poses[-1, :3]
             self.current_pose = chosen[-1]
 
+            # the viz dump (simulator chase-cam renders + PNG encoding —
+            # pure host work except its final prediction render, which
+            # queues on-device AFTER the train chunks) runs while the
+            # device trains: nerf_training dispatches all chunks first and
+            # only then calls the hook (vs the reference's strict
+            # alternation, pipeline.py:918-1224)
+            viz_hook = (
+                (lambda: self.render(fly_poses)) if self.save_viz else None
+            )
             self.nerf_training(
-                training_steps_per_step, planning_step=step
+                training_steps_per_step, planning_step=step,
+                pre_sync_hook=viz_hook,
             )
 
             # stop criterion (pipeline.py:1213-1224)
@@ -841,6 +944,10 @@ class ActiveNeRFMapper:
             params=params, occ=occ, opt_state=opt_state,
             step=jnp.asarray(step if step is not None else int(self.state.step)),
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_ensemble_state
+
+            self.state = shard_ensemble_state(self.state, self.mesh)
 
     def save_artifacts(self):
         self.train_dataset.save()

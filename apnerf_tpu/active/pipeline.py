@@ -39,6 +39,11 @@ def parse_args(argv=None):
         help="write a jax.profiler trace of the run to DIR "
         "(view with tensorboard or xprof)",
     )
+    p.add_argument(
+        "--mesh", type=str, default=None, metavar="ENS,DATA",
+        help="run the active loop multi-chip: an (ens, data) device mesh, "
+        "e.g. --mesh 2,4 on an 8-chip slice (flagship path only)",
+    )
     return p.parse_args(argv)
 
 
@@ -74,7 +79,19 @@ def build_mapper(args):
         sim = HabitatSim(args.habitat_scene, args.habitat_config_file,
                          cfg.img_w, cfg.img_h)
 
-    return ActiveNeRFMapper(cfg, sim, seed=args.seed)
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+
+        n_ens, n_data = (int(v) for v in args.mesh.split(","))
+        if n_ens * n_data > len(jax.devices()):
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {n_ens * n_data} devices, "
+                f"have {len(jax.devices())}"
+            )
+        mesh = make_mesh(n_ens=n_ens, n_data=n_data)
+
+    return ActiveNeRFMapper(cfg, sim, seed=args.seed, mesh=mesh)
 
 
 def main(argv=None):

@@ -58,7 +58,6 @@ def apply_mlp(
     The same mixed-precision contract as tcnn's fully-fused fp16 MLPs
     (``reference pipeline.py:181`` trains under GradScaler fp16)."""
     n_layers = len(params) // 2
-    orig_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     for i in range(n_layers):
@@ -76,4 +75,4 @@ def apply_mlp(
             x = activation(x)
         elif output_activation is not None:
             x = output_activation(x)
-    return x.astype(orig_dtype)
+    return x

@@ -22,6 +22,8 @@ layer exposes), f32 parameters.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -115,26 +117,113 @@ def _normalize(cfg: SpectralConfig, x: jnp.ndarray):
     return u, selector
 
 
-def spectral_encode(params: dict, cfg: SpectralConfig, u: jnp.ndarray):
-    """[..., 3] unit-cube coords → [..., 2M] spectral features (one
-    matmul + sin/cos on the VPU).
-
-    The phase accumulates in f32 (bf16's 8 mantissa bits cannot represent
-    x·f for f up to 4096 accurately enough for cos), but the features cast
-    to the compute dtype AT the cos/sin so XLA fuses the convert into the
-    elementwise op — a standalone [N, 2M] f32→bf16 convert measured
-    1.2 ms/step in the production trace."""
-    dt = cfg.dtype
+def _encode_math(W, phase, u, dt):
+    """proj in f32 (bf16's 8 mantissa bits cannot represent x·f for f up
+    to 4096 accurately enough for cos), features cast to the compute dtype
+    AT the cos/sin so XLA fuses the convert into the elementwise op."""
     proj = (
-        jnp.dot(
-            u.astype(dt), params["W"].astype(dt),
-            preferred_element_type=jnp.float32,
-        )
+        jnp.dot(u.astype(dt), W.astype(dt), preferred_element_type=jnp.float32)
         * (2 * np.pi)
-        + params["phase"]
+        + phase
     )
     return jnp.concatenate(
         [jnp.cos(proj).astype(dt), jnp.sin(proj).astype(dt)], axis=-1
+    ), proj
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _spectral_encode_core(W, phase, u, dt_name: str):
+    dt = jnp.bfloat16 if dt_name == "bfloat16" else jnp.float32
+    return _encode_math(W, phase, u, dt)[0]
+
+
+def _enc_fwd(W, phase, u, dt_name):
+    dt = jnp.bfloat16 if dt_name == "bfloat16" else jnp.float32
+    return _encode_math(W, phase, u, dt)[0], (W, phase, u)
+
+
+def _enc_bwd(dt_name, res, g):
+    # Production-trace rationale (scripts/profile_trace.py, v5e): the
+    # autodiff backward saved cos/sin in f32 (2x268 MB materialized +
+    # standalone bf16 converts) and pushed f32 cotangents through the dW /
+    # dphase reductions — ~5.5 ms/step, more than the trunk matmuls.
+    # Here the backward RECOMPUTES proj (one cheap [N,3]x[3,M] dot), fuses
+    # sin/cos into the single dproj elementwise pass, and emits dproj in
+    # the compute dtype so every downstream reduction reads half the bytes.
+    dt = jnp.bfloat16 if dt_name == "bfloat16" else jnp.float32
+    W, phase, u = res
+    M = W.shape[-1]
+    proj = (
+        jnp.dot(u.astype(dt), W.astype(dt), preferred_element_type=jnp.float32)
+        * (2 * np.pi)
+        + phase
+    )
+    # Fence the recomputed proj: without it XLA CSEs this subtree with the
+    # forward's, and the shared f32 cos/sin pair materializes again (the
+    # exact 2x268 MB + converts this VJP exists to remove — seen in the
+    # first r3 trace). Behind the barrier, the forward's cos/sin fuse into
+    # its bf16 outputs and the backward's fuse into the dproj pass.
+    proj = jax.lax.optimization_barrier(proj)
+    gc = g[..., :M].astype(jnp.float32)
+    gs = g[..., M:].astype(jnp.float32)
+    dproj = (jnp.cos(proj) * gs - jnp.sin(proj) * gc).astype(dt)
+    dphase = jnp.sum(
+        dproj, axis=tuple(range(dproj.ndim - 1)), dtype=jnp.float32
+    )
+    two_pi = jnp.float32(2 * np.pi)
+    dW = (
+        jax.lax.dot_general(
+            u.astype(dt), dproj, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * two_pi
+    ).astype(W.dtype)
+    du = (
+        jax.lax.dot_general(
+            dproj, W.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * two_pi
+    ).astype(u.dtype)
+    return dW, dphase.astype(phase.dtype), du
+
+
+_spectral_encode_core.defvjp(_enc_fwd, _enc_bwd)
+
+
+def spectral_encode(params: dict, cfg: SpectralConfig, u: jnp.ndarray):
+    """[..., 3] unit-cube coords → [..., 2M] spectral features (one
+    matmul + sin/cos on the VPU), with a bandwidth-lean custom VJP
+    (see ``_enc_bwd``)."""
+    return _spectral_encode_core(
+        params["W"], params["phase"], u, cfg.compute_dtype
+    )
+
+
+def _trunk_apply(params_mlp: dict, enc: jnp.ndarray, cfg: SpectralConfig):
+    """Trunk MLP: the plain XLA chain, or the fully-fused Pallas kernel
+    (``ops/pallas/fused_mlp.py``) behind ``APNERF_FUSED_MLP=1`` when the
+    topology matches its fixed 3-hidden-layer shape — the tcnn
+    FullyFusedMLP equivalent, activations never round-trip through HBM."""
+    if (
+        os.environ.get("APNERF_FUSED_MLP", "0") == "1"
+        and len(params_mlp) == 8
+        and cfg.compute_dtype == "bfloat16"
+    ):
+        from ..ops.pallas.fused_mlp import fused_mlp_apply
+
+        return fused_mlp_apply(params_mlp, enc)
+    return apply_mlp(params_mlp, enc, compute_dtype=cfg.dtype)
+
+
+def _use_fused_field(cfg: SpectralConfig, params_mlp: dict) -> bool:
+    """APNERF_FUSED_FIELD=1 routes encode+trunk through the single Pallas
+    kernel (``ops/pallas/fused_mlp.fused_spectral_field``); requires the
+    bf16 compute dtype and the fixed 3-hidden-layer trunk topology."""
+    return (
+        os.environ.get("APNERF_FUSED_FIELD", "0") == "1"
+        and cfg.compute_dtype == "bfloat16"
+        and len(params_mlp) == 8
     )
 
 
@@ -144,8 +233,16 @@ def query_density(
     """Same contract as ``ngp.query_density`` (``ngp.py:171-200``)."""
     batch_shape = x.shape[:-1]
     u, selector = _normalize(cfg, x)
-    enc = spectral_encode(params, cfg, u.reshape(-1, 3))
-    h = apply_mlp(params["mlp_base"], enc, compute_dtype=cfg.dtype)
+    if _use_fused_field(cfg, params["mlp_base"]):
+        from ..ops.pallas.fused_mlp import fused_spectral_field
+
+        h = fused_spectral_field(
+            params["W"], params["phase"], params["mlp_base"],
+            u.reshape(-1, 3),
+        )
+    else:
+        enc = spectral_encode(params, cfg, u.reshape(-1, 3))
+        h = _trunk_apply(params["mlp_base"], enc, cfg)
     h = h.reshape(batch_shape + (1 + cfg.geo_feat_dim,))
     density_raw, geo_feat = h[..., :1], h[..., 1:]
     density = trunc_exp(density_raw - 1.0) * selector[..., None]

@@ -13,16 +13,14 @@ Fixed topology: 3 hidden layers of width H and a linear output layer,
 matching the flagship trunk ``[Din, H, H, H, Dout]``. bf16 matmuls with
 f32 MXU accumulation; dW accumulators f32.
 
-STATUS on this environment: the forward kernel compiles and runs on the
-v5e; the backward kernel is rejected by the remote Mosaic compile helper
-with an infrastructure error (``TPU_WORKER_HOSTNAMES`` unset in the
-compile subprocess) for any kernel containing the full dot→mask→dot
-backward chain — bisected down from the full kernel; individual dots,
-19-operand kernels, and 2-dot kernels all compile (see /tmp bisect logs
-referenced in docs/PERFORMANCE.md). The kernel is therefore validated
-against the ``apply_mlp`` oracle in interpreter mode and not wired into
-the default train path; on a standard TPU runtime it is expected to
-compile as-is.
+STATUS (r3): forward AND backward compile and run on the v5e. The r2
+"infrastructure error" was mis-bisected: the remote compile helper's HTTP
+500 masked the real Mosaic diagnostic, "Target does not support this
+comparison" — the backward's ReLU masks compared bf16 values (``h > 0``),
+which this Mosaic target cannot lower. Comparing the f32 pre-activations
+instead (see ``_bwd_kernel``) fixes the compile. Enabled in the spectral
+trunk via ``APNERF_FUSED_MLP=1`` (``models/spectral.py``); benchmarked in
+docs/PERFORMANCE.md.
 """
 
 from __future__ import annotations
@@ -66,33 +64,114 @@ def _fwd_kernel(x_ref, w0, b0, w1, b1, w2, b2, w3, b3, y_ref):
     y_ref[:] = _dot(h, w3[:].astype(bf)) + b3[:]
 
 
+def _spectral_enc(proj):
+    """[Nt, M] f32 phase → [Nt, 2M] bf16 features, entirely in VMEM."""
+    return jnp.concatenate(
+        [jnp.cos(proj), jnp.sin(proj)], axis=-1
+    ).astype(jnp.bfloat16)
+
+
+def _enc_fwd_kernel(p_ref, w0, b0, w1, b1, w2, b2, w3, b3, y_ref):
+    bf = jnp.bfloat16
+    x = _spectral_enc(p_ref[:])
+    h = jnp.maximum(_dot(x, w0[:].astype(bf)) + b0[:], 0).astype(bf)
+    h = jnp.maximum(_dot(h, w1[:].astype(bf)) + b1[:], 0).astype(bf)
+    h = jnp.maximum(_dot(h, w2[:].astype(bf)) + b2[:], 0).astype(bf)
+    y_ref[:] = _dot(h, w3[:].astype(bf)) + b3[:]
+
+
+def _enc_bwd_kernel(
+    p_ref, w0, b0, w1, b1, w2, b2, w3, b3, g_ref,
+    dp_ref, dw0, db0, dw1, db1, dw2, db2, dw3, db3,
+):
+    # same revisiting-accumulator + f32-preactivation-mask design as
+    # _bwd_kernel, plus the spectral feature chain: recompute cos/sin from
+    # the saved phase angles, run the trunk backward to g_enc, and emit
+    # dproj = cos*g_sin - sin*g_cos without any HBM intermediate.
+    bf = jnp.bfloat16
+    first = pl.program_id(0) == 0
+    proj = p_ref[:]  # [Nt, M] f32
+    c = jnp.cos(proj)
+    s = jnp.sin(proj)
+    M = proj.shape[-1]
+    x = jnp.concatenate([c, s], axis=-1).astype(bf)
+    a0 = _dot(x, w0[:].astype(bf)) + b0[:]
+    h0 = jnp.maximum(a0, 0).astype(bf)
+    a1 = _dot(h0, w1[:].astype(bf)) + b1[:]
+    h1 = jnp.maximum(a1, 0).astype(bf)
+    a2 = _dot(h1, w2[:].astype(bf)) + b2[:]
+    h2 = jnp.maximum(a2, 0).astype(bf)
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = jnp.zeros_like(ref)
+
+        ref[...] += val
+
+    g = g_ref[:].astype(bf)
+    acc(dw3, _dot_tn(h2, g))
+    acc(db3, jnp.sum(g, axis=0, keepdims=True).astype(jnp.float32))
+    gh = (_dot_nt(g, w3[:].astype(bf)) * (a2 > 0)).astype(bf)
+    acc(dw2, _dot_tn(h1, gh))
+    acc(db2, jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
+    gh = (_dot_nt(gh, w2[:].astype(bf)) * (a1 > 0)).astype(bf)
+    acc(dw1, _dot_tn(h0, gh))
+    acc(db1, jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
+    gh = (_dot_nt(gh, w1[:].astype(bf)) * (a0 > 0)).astype(bf)
+    acc(dw0, _dot_tn(x, gh))
+    acc(db0, jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
+    g_enc = _dot_nt(gh, w0[:].astype(bf))  # [Nt, 2M] f32
+    dp_ref[:] = (
+        c * g_enc[:, M:] - s * g_enc[:, :M]
+    ).astype(dp_ref.dtype)
+
+
 def _bwd_kernel(
     x_ref, w0, b0, w1, b1, w2, b2, w3, b3, g_ref,
     dx_ref, dw0, db0, dw1, db1, dw2, db2, dw3, db3,
 ):
-    # Per-tile dW/db contributions land in grid-indexed output blocks and
-    # are reduced outside the kernel: the revisiting-accumulator pattern
-    # trips this environment's remote Mosaic compiler.
+    # dW/db use REVISITING accumulators: every tile maps to the same output
+    # block; tile 0 initializes, later tiles add in place. The gradients
+    # never leave VMEM until the grid finishes — per-tile contribution
+    # buffers (the r2 design) wrote [n_tiles, 256, 256] f32 to HBM and ate
+    # the entire fusion win.
+    #
+    # ReLU masks compare the f32 PRE-activations, not the bf16 activations:
+    # this Mosaic target rejects bf16 comparisons ("Target does not support
+    # this comparison" — the true cause of the r2 backward-compile failure,
+    # mis-bisected then as remote-compile infra).
     bf = jnp.bfloat16
+    first = pl.program_id(0) == 0
     x = x_ref[:].astype(bf)
-    # recompute forward, keeping activations in VMEM
-    h0 = jnp.maximum(_dot(x, w0[:].astype(bf)) + b0[:], 0).astype(bf)
-    h1 = jnp.maximum(_dot(h0, w1[:].astype(bf)) + b1[:], 0).astype(bf)
-    h2 = jnp.maximum(_dot(h1, w2[:].astype(bf)) + b2[:], 0).astype(bf)
+    # recompute forward, keeping activations + f32 pre-activations in VMEM
+    a0 = _dot(x, w0[:].astype(bf)) + b0[:]
+    h0 = jnp.maximum(a0, 0).astype(bf)
+    a1 = _dot(h0, w1[:].astype(bf)) + b1[:]
+    h1 = jnp.maximum(a1, 0).astype(bf)
+    a2 = _dot(h1, w2[:].astype(bf)) + b2[:]
+    h2 = jnp.maximum(a2, 0).astype(bf)
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = jnp.zeros_like(ref)
+
+        ref[...] += val
 
     g = g_ref[:].astype(bf)  # [Nt, Dout]
-    dw3[0] = _dot_tn(h2, g)
-    db3[0] = jnp.sum(g, axis=0, keepdims=True).astype(jnp.float32)
-    gh = (_dot_nt(g, w3[:].astype(bf)) * (h2 > 0)).astype(bf)
-    dw2[0] = _dot_tn(h1, gh)
-    db2[0] = jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32)
-    gh = (_dot_nt(gh, w2[:].astype(bf)) * (h1 > 0)).astype(bf)
-    dw1[0] = _dot_tn(h0, gh)
-    db1[0] = jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32)
-    gh = (_dot_nt(gh, w1[:].astype(bf)) * (h0 > 0)).astype(bf)
-    dw0[0] = _dot_tn(x, gh)
-    db0[0] = jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32)
-    dx_ref[:] = _dot_nt(gh, w0[:].astype(bf))
+    acc(dw3, _dot_tn(h2, g))
+    acc(db3, jnp.sum(g, axis=0, keepdims=True).astype(jnp.float32))
+    gh = (_dot_nt(g, w3[:].astype(bf)) * (a2 > 0)).astype(bf)
+    acc(dw2, _dot_tn(h1, gh))
+    acc(db2, jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
+    gh = (_dot_nt(gh, w2[:].astype(bf)) * (a1 > 0)).astype(bf)
+    acc(dw1, _dot_tn(h0, gh))
+    acc(db1, jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
+    gh = (_dot_nt(gh, w1[:].astype(bf)) * (a0 > 0)).astype(bf)
+    acc(dw0, _dot_tn(x, gh))
+    acc(db0, jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
+    dx_ref[:] = _dot_nt(gh, w0[:].astype(bf)).astype(dx_ref.dtype)
 
 
 def _tile(N):
@@ -138,26 +217,25 @@ def _call_bwd(x, weights, g):
     gspec = pl.BlockSpec((t, Dout), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_shapes = [w.shape for w in weights]
     n_tiles = N // t
-    # per-tile dW/db contribution blocks, reduced by the caller
+    # revisiting dW/db accumulators: one block, every tile maps to it
     acc_specs = tuple(
-        pl.BlockSpec(
-            (1,) + s, functools.partial(lambda s_, i: (i,) + (0,) * len(s_), s),
-            memory_space=pltpu.VMEM,
-        )
+        pl.BlockSpec(s, functools.partial(lambda nd, i: (0,) * nd, len(s)),
+                     memory_space=pltpu.VMEM)
         for s in w_shapes
     )
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((n_tiles,) + s, jnp.float32) for s in w_shapes
+        jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes
     )
     outs = pl.pallas_call(
         _bwd_kernel,
         grid=(n_tiles,),
         in_specs=[xspec] + _w_specs(w_shapes) + [gspec],
         out_specs=(xspec,) + acc_specs,
-        out_shape=(jax.ShapeDtypeStruct((N, Din), jnp.float32),) + out_shapes,
+        # dx in x's dtype (bf16 for the flagship) — no f32 copy in HBM
+        out_shape=(jax.ShapeDtypeStruct((N, Din), x.dtype),) + out_shapes,
         interpret=_use_interpret(),
     )(x, *weights, g)
-    return (outs[0],) + tuple(o.sum(axis=0) for o in outs[1:])
+    return outs
 
 
 def _norm_weights(params):
@@ -169,15 +247,133 @@ def _norm_weights(params):
     return tuple(out)
 
 
+def _call_enc_fwd(proj, weights):
+    N, M = proj.shape
+    Dout = weights[-2].shape[1]
+    t = _tile(N)
+    pspec = pl.BlockSpec((t, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec((t, Dout), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _enc_fwd_kernel,
+        grid=(N // t,),
+        in_specs=[pspec] + _w_specs([w.shape for w in weights]),
+        out_specs=yspec,
+        out_shape=jax.ShapeDtypeStruct((N, Dout), jnp.float32),
+        interpret=_use_interpret(),
+    )(proj, *weights)
+
+
+def _call_enc_bwd(proj, weights, g):
+    N, M = proj.shape
+    Dout = weights[-2].shape[1]
+    t = _tile(N)
+    pspec = pl.BlockSpec((t, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((t, Dout), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w_shapes = [w.shape for w in weights]
+    acc_specs = tuple(
+        pl.BlockSpec(s, functools.partial(lambda nd, i: (0,) * nd, len(s)),
+                     memory_space=pltpu.VMEM)
+        for s in w_shapes
+    )
+    outs = pl.pallas_call(
+        _enc_bwd_kernel,
+        grid=(N // t,),
+        in_specs=[pspec] + _w_specs(w_shapes) + [gspec],
+        out_specs=(pspec,) + acc_specs,
+        # dproj in bf16: halves the read of every downstream reduction
+        # (dW_spectrum, dphase) — gradient values, bf16 is plenty
+        out_shape=(jax.ShapeDtypeStruct((N, M), jnp.bfloat16),)
+        + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes),
+        interpret=_use_interpret(),
+    )(proj, *weights, g)
+    return outs
+
+
+_TWO_PI = 6.283185307179586
+
+
+def _proj_math(W_spec, phase, u):
+    """f32 phase angles via one [N,3]x[3,M] matmul (XLA lays this out
+    well; the tiny K=3 dot does NOT belong in the kernel)."""
+    return (
+        jnp.dot(
+            u.astype(jnp.bfloat16), W_spec.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        * _TWO_PI
+        + phase
+    )
+
+
+@jax.custom_vjp
+def fused_spectral_field(
+    W_spec: jnp.ndarray,  # [3, M] learnable spectrum
+    phase: jnp.ndarray,  # [M]
+    params: dict,  # 4-layer MLP dict (init_mlp format), w0: [2M, H]
+    u: jnp.ndarray,  # [N, 3] unit-cube coords
+) -> jnp.ndarray:
+    """The whole spectral field in one kernel: y = MLP(cos/sin(2π·u·W+φ))
+    — the tcnn ``NetworkWithInputEncoding`` counterpart
+    (``/root/reference/perception/models/radiance_fields/ngp.py:123-141``
+    instantiates exactly this fusion for the hash encoding): spectral
+    features and trunk activations never touch HBM. The backward emits
+    dproj in bf16 INSIDE the VJP so the spectrum/phase reductions read
+    half the bytes, then reduces to dW_spec/dphase/du with XLA dots.
+    """
+    return _call_enc_fwd(_proj_math(W_spec, phase, u), _norm_weights(params))
+
+
+def _fsf_fwd(W_spec, phase, params, u):
+    return fused_spectral_field(W_spec, phase, params, u), (
+        W_spec, phase, params, u,
+    )
+
+
+def _fsf_bwd(res, g):
+    W_spec, phase, params, u = res
+    proj = _proj_math(W_spec, phase, u)  # CSEs with the forward's — fine
+    outs = _call_enc_bwd(proj, _norm_weights(params), g.astype(jnp.float32))
+    dproj = outs[0]  # bf16 [N, M]
+    grads = {}
+    for i in range(4):
+        grads[f"w{i}"] = outs[1 + 2 * i].astype(params[f"w{i}"].dtype)
+        grads[f"b{i}"] = outs[2 + 2 * i].reshape(-1).astype(
+            params[f"b{i}"].dtype
+        )
+    dW = (
+        jax.lax.dot_general(
+            u.astype(jnp.bfloat16), dproj, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * _TWO_PI
+    ).astype(W_spec.dtype)
+    dphase = jnp.sum(
+        dproj, axis=tuple(range(dproj.ndim - 1)), dtype=jnp.float32
+    ).astype(phase.dtype)
+    du = (
+        jax.lax.dot_general(
+            dproj, W_spec.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * _TWO_PI
+    ).astype(u.dtype)
+    return dW, dphase, grads, du
+
+
+fused_spectral_field.defvjp(_fsf_fwd, _fsf_bwd)
+
+
 @jax.custom_vjp
 def fused_mlp_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """y = MLP(x) for the fixed [Din, H, H, H, Dout] ReLU topology.
 
     ``params`` is the plain dict pytree ``models/nn.init_mlp`` produces
     (4 layers). Forward output f32 (like ``apply_mlp``'s final layer);
-    hidden compute bf16 with f32 MXU accumulation.
+    hidden compute bf16 with f32 MXU accumulation. ``x`` may be bf16 (the
+    flagship's spectral features) — it enters the kernel unconverted, so
+    no [N, Din] f32 copy materializes in HBM.
     """
-    return _call_fwd(x.astype(jnp.float32), _norm_weights(params))
+    return _call_fwd(x, _norm_weights(params))
 
 
 def _fma_fwd(params, x):
@@ -186,9 +382,7 @@ def _fma_fwd(params, x):
 
 def _fma_bwd(res, g):
     params, x = res
-    outs = _call_bwd(
-        x.astype(jnp.float32), _norm_weights(params), g.astype(jnp.float32)
-    )
+    outs = _call_bwd(x, _norm_weights(params), g.astype(jnp.float32))
     dx = outs[0].astype(x.dtype)
     grads = {}
     for i in range(4):

@@ -78,8 +78,11 @@ def make_sharded_candidate_renderer(
     (SURVEY.md §2.5: "shard ... the view axis of candidate-trajectory
     rendering").
 
-    Returns render(params, origins [V, P, 3], viewdirs, bkgd) →
+    Returns render(params, origins [V, P, 3], viewdirs, bkgd, key=None) →
     outs dict with leaves [E, V, P, ...] (flagship spectral+prop path).
+    ``key`` seeds the sampler (stratified jitter stays off by default —
+    test-mode rendering — but scoring can now be keyed without a plumbing
+    change); None keeps the deterministic PRNGKey(0) behavior.
     """
     import jax.numpy as jnp
 
@@ -93,7 +96,7 @@ def make_sharded_candidate_renderer(
     ray_sh = NamedSharding(mesh, P("data"))
 
     @jax.jit
-    def render(params, origins, viewdirs, bkgd):
+    def _render(params, origins, viewdirs, bkgd, key):
         V, Pr, _ = origins.shape
         ro = jax.lax.with_sharding_constraint(
             origins.reshape(V * Pr, 3), ray_sh
@@ -106,7 +109,7 @@ def make_sharded_candidate_renderer(
             outs, _ = render_rays_prop(
                 lambda pos, dirs: spectral.forward(p["main"], s_cfg, pos, dirs),
                 lambda pos: spectral.query_density_field(p["prop"], p_cfg, pos),
-                ro, rd, aabb, jax.random.PRNGKey(0),
+                ro, rd, aabb, key,
                 num_samples=max_samples,
                 num_prop_samples=cfg.num_prop_samples,
                 near_plane=cfg.near_plane, render_bkgd=bkgd,
@@ -120,6 +123,11 @@ def make_sharded_candidate_renderer(
             if x.ndim >= 2 else x,
             outs,
         )
+
+    def render(params, origins, viewdirs, bkgd, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return _render(params, origins, viewdirs, bkgd, key)
 
     return render
 

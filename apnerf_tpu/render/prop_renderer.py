@@ -116,6 +116,10 @@ def render_rays_prop(
     outs = volrend.render_outputs(
         weights, t0, t1, rgbs, sems=sems, render_bkgd=render_bkgd
     )
+    # NOTE: counts every sample on every aabb-hitting ray (the prop path
+    # evaluates the field densely at all of them); the occ path's renderer
+    # instead reports compacted *valid* samples. The two auxes measure the
+    # work each path actually does and are NOT comparable across paths.
     outs["n_samples"] = jnp.sum(~miss) * num_samples
     if with_variance:
         outs["rgb_var"] = volrend.render_variance(

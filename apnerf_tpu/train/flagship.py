@@ -27,7 +27,7 @@ import optax
 
 from ..config import PipelineConfig
 from ..models import spectral
-from ..ops.occupancy import init_occ_grid, maybe_update_occ_grid
+from ..ops.occupancy import init_occ_grid, update_occ_grid
 from ..render.prop_renderer import render_rays_prop
 from .schedule import cyclic_lr
 from .step import EnsembleState, make_optimizer
@@ -105,22 +105,15 @@ def make_flagship_member_core(
     aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
 
     def member_core(params, opt_state, occ, batch, k_occ, step, occ_thre):
-        k_occ, k_samp = jax.random.split(k_occ)
-
-        # occupancy EMA on cadence from the spectral density — the planner
-        # consumes these binaries (mapper.planning); amortized cost only
-        def occ_eval_fn(x):
-            return (
-                spectral.query_density(params["main"], s_cfg, x)
-                * cfg.render_step_size
-            )
-
-        occ = maybe_update_occ_grid(
-            occ, occ_eval_fn, k_occ, step, occ_thre,
-            every_n=cfg.occ_every_n,
-            ema_decay=cfg.occ_ema_decay,
-            warmup_steps=cfg.occ_warmup_steps,
-        )
+        # The occupancy grid is NOT updated in the scan body: the flagship
+        # sampler never reads it (proposal sampling), only the planner
+        # does, between phases. r2 kept the reference's every-16-steps
+        # lax.cond inside the scan and the trace showed it costing
+        # ~2 ms/step (the cond's carry copy + a searchsorted while-loop,
+        # scripts/profile_trace.py) — the update now runs once per chunk
+        # via ``make_flagship_occ_update``. ``occ`` passes through so the
+        # state layout (and checkpoints) stay identical.
+        _, k_samp = jax.random.split(k_occ)
 
         def loss_fn(p):
             def field_fn(pos, dirs):
@@ -178,8 +171,44 @@ def make_flagship_train_phase(
     batch_constraint=None,
 ):
     """lax.scan multi-step phase over the flagship member core (same
-    signature as ``phase.make_train_phase``)."""
+    signature as ``phase.make_train_phase``). Pair with
+    ``make_flagship_occ_update`` called once per chunk — the phase itself
+    leaves the occupancy grid untouched (see member_core)."""
     return make_train_phase(
         cfg, schedule=schedule, batch_constraint=batch_constraint,
         member_core=make_flagship_member_core(cfg, schedule),
     )
+
+
+def make_flagship_occ_update(cfg: PipelineConfig):
+    """Chunk-cadence occupancy EMA + re-binarization for the flagship path
+    (reference semantics: ``occ_grid.py:241-437``; cadence deviation —
+    once per scan chunk (~25 steps) instead of every 16 — documented in
+    docs/PERFORMANCE.md; the only consumer is the planner, which reads the
+    binaries between phases).
+
+    Returns ``occ_update_fn(state, key, occ_thre) -> state`` (jitted,
+    works on ens-sharded state too)."""
+    s_cfg = make_spectral_config(cfg)
+
+    @jax.jit
+    def occ_update_fn(state: EnsembleState, key: jax.Array, occ_thre):
+        keys = jax.random.split(key, cfg.n_ensembles)
+
+        def one(params, occ, k):
+            def occ_eval_fn(x):
+                return (
+                    spectral.query_density(params["main"], s_cfg, x)
+                    * cfg.render_step_size
+                )
+
+            return update_occ_grid(
+                occ, occ_eval_fn, k, state.step, occ_thre,
+                ema_decay=cfg.occ_ema_decay,
+                warmup_steps=cfg.occ_warmup_steps,
+            )
+
+        occ = jax.vmap(one)(state.params, state.occ, keys)
+        return state._replace(occ=occ)
+
+    return occ_update_fn

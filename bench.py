@@ -1,7 +1,8 @@
 """Benchmark: ensemble training throughput of the flagship field at full
-production size on real hardware.
+production size on real hardware, WITH a quality canary.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+auxiliary "psnr_100steps" / "final_loss" quality-canary keys}.
 
 Flagship = spectral field + proposal sampling (see models/spectral.py and
 render/prop_renderer.py for the measured hardware rationale); the NGP
@@ -10,6 +11,11 @@ hash + occ-grid path remains available behind config knobs.
 Metric: training samples/sec across the whole ensemble (2 members x
 2048 rays x 128 samples = 524288 field samples per optimizer step — the
 reference's 262144-samples-per-member budget, config_102344250.yaml:4).
+The training data is a real FakeSim 39-view scan (not noise), so the same
+run reports held-out PSNR after the timed steps — a REGRESSION CANARY at
+the bench's ~100-step budget (full-budget quality lives in
+scripts/quality_headtohead.py / docs/PERFORMANCE.md), catching quality
+breakage that a pure-throughput bench would miss.
 
 Baseline: the reference stack's implied training throughput — nerfacc docs
 report Instant-NGP + occ-grid at 20k steps x 2^18 samples in 269 s on a
@@ -19,8 +25,10 @@ i.e. ~1.95e7 samples/s. vs_baseline = value / 1.95e7.
 Timing notes (hard-won, see scripts/profile_honest2.py): on the axon
 tunnel, `block_until_ready` can return without the program having
 executed, so every measurement forces a scalar float() readback; steps
-are batched in lax.scan chunks of <=10 (longer scans faulted the TPU in
-round 1) so the ~30 ms per-call readback floor amortizes.
+are batched in lax.scan chunks (25 here) so the ~30 ms per-call readback
+floor amortizes. The flagship path runs 25-step chunks cleanly; only the
+NGP+occ path is capped at 5 steps/chunk (longer hash+lattice scans fault
+the v5e — mapper.py steps_per_call).
 """
 
 import json
@@ -37,41 +45,59 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 20000 * 262144 / 269.0  # ≈ 1.95e7
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "25"))
 N_CALLS = int(os.environ.get("BENCH_N_CALLS", "4"))
+AABB = (-8.0, 0.0, -8.0, 0.0, 3.0, 0.0)
 
 
 def main():
     from apnerf_tpu.config import PipelineConfig
     from apnerf_tpu.data.dataset import RayDataset
+    from apnerf_tpu.models import spectral
+    from apnerf_tpu.ops.rays import image_rays, make_intrinsics, pose_matrix_from_quat
+    from apnerf_tpu.render.prop_renderer import render_rays_prop
+    from apnerf_tpu.sim.fake import FakeSim
     from apnerf_tpu.train.flagship import (
         init_flagship_ensemble,
+        make_flagship_occ_update,
         make_flagship_train_phase,
+        make_prop_config,
+        make_spectral_config,
     )
     from apnerf_tpu.train.phase import pools_from_dataset
 
     cfg = PipelineConfig(
-        # production scene 102344250 values
+        # production scene-scale values (29 classes, 2048x128 budget)
+        aabb=AABB,
         num_semantic_classes=29,
         n_ensembles=2,
         num_rays=2048,
         max_samples_train=128,
-        max_images=8,
+        max_images=64,
         img_w=640,
         img_h=640,
     )
+
+    # a real scene: FakeSim 39-view initial scan (the pipeline's init)
+    # FakeSim's labels are a subset of the 29-class head — the model keeps
+    # production size (that's what the throughput claim is about)
+    sim = FakeSim(aabb=AABB, img_w=cfg.img_w, img_h=cfg.img_h)
+    rng = np.random.RandomState(0)
+    center = np.array([-4.0, 1.5, -4.0])
+    poses, mats = [], []
+    for i in range(39):
+        ang = np.deg2rad(9.0 * i)
+        pos = center + rng.uniform(-0.2, 0.2, 3)
+        quat = np.array([0, np.sin(ang / 2), 0, np.cos(ang / 2)])
+        poses.append(np.concatenate([pos, quat]))
+        mats.append(pose_matrix_from_quat(pos, quat))
+    images, depths, sems = sim.sample_images_from_poses(poses)
 
     ds = RayDataset(
         training=True, num_rays=cfg.num_rays, num_models=cfg.n_ensembles,
         width=cfg.img_w, height=cfg.img_h, max_images=cfg.max_images,
     )
-    rng = np.random.RandomState(0)
-    n_img = 4
-    c2ws = np.tile(np.eye(4, dtype=np.float32), (n_img, 1, 1))
-    c2ws[:, :3, 3] = rng.uniform(-5, 0, (n_img, 3))
     ds.update_data(
-        (rng.rand(n_img, cfg.img_h, cfg.img_w, 3) * 255).astype(np.uint8),
-        (rng.rand(n_img, cfg.img_h, cfg.img_w) * 5).astype(np.float32),
-        rng.randint(0, cfg.num_semantic_classes, (n_img, cfg.img_h, cfg.img_w)),
-        c2ws,
+        np.asarray(images)[..., :3], np.asarray(depths), np.asarray(sems),
+        np.array(mats),
     )
 
     state = init_flagship_ensemble(jax.random.PRNGKey(0), cfg)
@@ -82,12 +108,18 @@ def main():
     thre = jnp.asarray(1e-3)
     bias = jnp.asarray(False)
 
+    occ_update_fn = make_flagship_occ_update(cfg)
+
     def run_chunk(state, key):
-        keys = jax.random.split(key, STEPS_PER_CALL)
+        # phase + the chunk-cadence occ update — the full production path
+        # (mapper.nerf_training runs exactly this pair per chunk)
+        k_phase, k_occ = jax.random.split(key)
+        keys = jax.random.split(k_phase, STEPS_PER_CALL)
         state, losses = phase_fn(
             state, ds.images, ds.depths, ds.semantics, ds.camtoworlds, ds.K,
             pools, counts, size, keys, thre, bias,
         )
+        state = occ_update_fn(state, k_occ, thre)
         return state, losses
 
     # warmup / compile — force execution with a scalar readback
@@ -99,12 +131,50 @@ def main():
         state, loss = run_chunk(state, jax.random.PRNGKey(3 + i))
     # the float() synchronizes the LAST chunk; chunks are chained through
     # `state`, so all N_CALLS chunks must have executed before it returns
-    assert np.isfinite(float(jnp.sum(loss)))
+    final_loss = float(jnp.mean(loss[-5:]))
+    assert np.isfinite(final_loss)
     dt = time.perf_counter() - t0
 
     n_steps = STEPS_PER_CALL * N_CALLS
     samples_per_step = cfg.n_ensembles * cfg.num_rays * cfg.max_samples_train
     value = samples_per_step * n_steps / dt
+
+    # quality canary: held-out PSNR after the (warmup + timed) steps
+    s_cfg = make_spectral_config(cfg)
+    p_cfg = make_prop_config(cfg)
+    oh = ow = 160
+    K_s = jnp.asarray(make_intrinsics(ow, oh, cfg.hfov))
+    aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    test_pose = np.concatenate(
+        [center + [0.3, 0.0, -0.4],
+         [0, np.sin(2.1 / 2), 0, np.cos(2.1 / 2)]]
+    )
+
+    @jax.jit
+    def render_view(params, c2w):
+        rr = image_rays(c2w, K_s, ow, oh)
+        outs, _ = render_rays_prop(
+            lambda pos, dirs: spectral.forward(params["main"], s_cfg, pos, dirs),
+            lambda pos: spectral.query_density_field(params["prop"], p_cfg, pos),
+            rr.origins, rr.viewdirs, aabb, jax.random.PRNGKey(0),
+            num_samples=256, num_prop_samples=cfg.num_prop_samples,
+            near_plane=cfg.near_plane, render_bkgd=jnp.ones(3),
+            stratified=False,
+        )
+        return outs["rgb"]
+
+    member0 = jax.tree.map(lambda x: x[0], state.params)
+    c2w = jnp.asarray(
+        pose_matrix_from_quat(test_pose[:3], test_pose[3:]), jnp.float32
+    )
+    pd = np.asarray(render_view(member0, c2w)).reshape(oh, ow, 3)
+    g_img, _, _ = sim.sample_images_from_poses([test_pose])
+    ys = (np.arange(oh) * cfg.img_h) // oh
+    xs = (np.arange(ow) * cfg.img_w) // ow
+    gt = np.asarray(g_img[0])[..., :3][np.ix_(ys, xs)] / 255.0
+    mse = float(np.mean((pd - gt) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+
     print(
         json.dumps(
             {
@@ -112,6 +182,8 @@ def main():
                 "value": round(value, 1),
                 "unit": "samples/sec",
                 "vs_baseline": round(value / BASELINE_SAMPLES_PER_SEC, 3),
+                "psnr_100steps": round(psnr, 2),
+                "final_loss": round(final_loss, 4),
             }
         )
     )

@@ -138,3 +138,48 @@ def test_contract_to_unisphere():
     x_far = jnp.asarray([[100.0, 100.0, 100.0]])
     out = np.array(contract_to_unisphere(x_far, aabb))
     assert np.all(out >= 0.0) and np.all(out <= 1.0)
+
+
+def test_spectral_encode_custom_vjp_matches_autodiff():
+    """The bandwidth-lean custom VJP of the spectral encode (r3,
+    models/spectral.py _enc_bwd) must agree with plain autodiff of the
+    same math in f32 for dW, dphase, and du."""
+    import jax
+    import numpy as np
+    from apnerf_tpu.models import spectral
+
+    cfg = spectral.SpectralConfig(
+        aabb=(-1, -1, -1, 1, 1, 1), n_levels=4, freqs_per_level=2,
+        base_freq=4.0, max_freq=32.0, compute_dtype="float32",
+    )
+    params = spectral.init_spectral(jax.random.PRNGKey(0), cfg)
+    u = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    W, phase = params["W"], params["phase"]
+
+    def loss_custom(W, phase, u):
+        out = spectral._spectral_encode_core(W, phase, u, "float32")
+        return jnp.sum(jnp.sin(out) * out)
+
+    def loss_ref(W, phase, u):
+        out, _ = spectral._encode_math(W, phase, u, jnp.float32)
+        return jnp.sum(jnp.sin(out) * out)
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(W, phase, u)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(W, phase, u)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+    # vmapped over an ensemble axis (how the train phase consumes it)
+    Ws = jnp.stack([W, W * 1.1])
+    ps = jnp.stack([phase, phase * 0.9])
+    gv = jax.vmap(
+        lambda w, p: jax.grad(loss_custom, argnums=0)(w, p, u)
+    )(Ws, ps)
+    gr = jax.vmap(
+        lambda w, p: jax.grad(loss_ref, argnums=0)(w, p, u)
+    )(Ws, ps)
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(gr), rtol=1e-5, atol=1e-5
+    )

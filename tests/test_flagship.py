@@ -180,6 +180,7 @@ def test_flagship_phase_learns_and_updates_occ():
     from apnerf_tpu.data.dataset import RayDataset
     from apnerf_tpu.train.flagship import (
         init_flagship_ensemble,
+        make_flagship_occ_update,
         make_flagship_train_phase,
     )
     from apnerf_tpu.train.phase import pools_from_dataset
@@ -212,5 +213,10 @@ def test_flagship_phase_learns_and_updates_occ():
         losses[:5].mean(), losses[-5:].mean()
     )
     assert int(state.step) == 40
-    # occupancy EMA ran on cadence (planner consumes these binaries)
+    # the phase itself leaves occ untouched (r3: the EMA update runs once
+    # per chunk via make_flagship_occ_update, outside the scan)
+    assert np.asarray(state.occ.occs).max() == 0
+    occ_fn = make_flagship_occ_update(cfg)
+    state = occ_fn(state, jax.random.PRNGKey(2), jnp.asarray(1e-3))
+    # occupancy EMA ran (planner consumes these binaries)
     assert np.asarray(state.occ.occs).max() > 0
