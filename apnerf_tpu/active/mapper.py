@@ -126,6 +126,13 @@ class ActiveNeRFMapper:
 
             from ..train.flagship import make_flagship_occ_update
 
+            if mesh is not None and cfg.fused_field == "auto":
+                # the Pallas field kernel has no GSPMD partitioning rule;
+                # sharded programs run the plain XLA chain
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, fused_field="off")
+                self.cfg = cfg
             self.spectral_cfg = make_spectral_config(cfg)
             self.prop_cfg = make_prop_config(cfg)
             self.state: EnsembleState = init_flagship_ensemble(

@@ -103,6 +103,9 @@ class PipelineConfig:
     # (scripts/quality_sweep.py): PSNR 22.4 / depthMSE 0.40 / semAcc 0.971
     # at 6e-3 vs PSNR 20.0 / 0.91 / 0.964 at 3e-3
     spectral_lr: float = 6e-3
+    # fully-fused Pallas field kernel: "auto" (on for TPU backend) |
+    # "on" | "off" — see models/spectral.py _use_fused_field
+    fused_field: str = "auto"
 
     # poses (yaml:34-101)
     global_origin: Tuple[float, ...] = (

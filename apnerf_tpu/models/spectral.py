@@ -49,6 +49,10 @@ class SpectralConfig(NamedTuple):
     use_viewdirs: bool = True
     unbounded: bool = False
     compute_dtype: str = "bfloat16"  # matmul dtype; f32 accumulation
+    # fully-fused Pallas field (encode+trunk in one kernel): "auto" = on
+    # for the TPU backend, "on"/"off" force it. APNERF_FUSED_FIELD=0/1
+    # env var overrides everything (bench ablations).
+    fused: str = "auto"
 
     @property
     def n_freqs(self) -> int:
@@ -217,11 +221,22 @@ def _trunk_apply(params_mlp: dict, enc: jnp.ndarray, cfg: SpectralConfig):
 
 
 def _use_fused_field(cfg: SpectralConfig, params_mlp: dict) -> bool:
-    """APNERF_FUSED_FIELD=1 routes encode+trunk through the single Pallas
-    kernel (``ops/pallas/fused_mlp.fused_spectral_field``); requires the
-    bf16 compute dtype and the fixed 3-hidden-layer trunk topology."""
+    """Route encode+trunk through the single Pallas kernel
+    (``ops/pallas/fused_mlp.fused_spectral_field``)? Requires the bf16
+    compute dtype and the fixed 3-hidden-layer trunk topology. Default
+    ("auto"): on for the TPU backend (measured 1.536x vs 1.285x for the
+    XLA chain, docs/PERFORMANCE.md), off elsewhere (the interpret-mode
+    kernel would crawl on CPU). Mesh-mode forces "off" (Pallas has no
+    GSPMD partitioning rule; see active/mapper.py)."""
+    env = os.environ.get("APNERF_FUSED_FIELD")
+    if env == "0" or cfg.fused == "off":
+        enabled = False
+    elif env == "1" or cfg.fused == "on":
+        enabled = True
+    else:
+        enabled = jax.default_backend() == "tpu"
     return (
-        os.environ.get("APNERF_FUSED_FIELD", "0") == "1"
+        enabled
         and cfg.compute_dtype == "bfloat16"
         and len(params_mlp) == 8
     )
@@ -233,7 +248,10 @@ def query_density(
     """Same contract as ``ngp.query_density`` (``ngp.py:171-200``)."""
     batch_shape = x.shape[:-1]
     u, selector = _normalize(cfg, x)
-    if _use_fused_field(cfg, params["mlp_base"]):
+    n_rows = int(np.prod(batch_shape)) if batch_shape else 1
+    # odd row counts would degrade the kernel's grid to tiny tiles —
+    # fall back to the XLA chain (renderers at arbitrary resolutions)
+    if _use_fused_field(cfg, params["mlp_base"]) and n_rows % 256 == 0:
         from ..ops.pallas.fused_mlp import fused_spectral_field
 
         h = fused_spectral_field(

@@ -64,17 +64,18 @@ def _fwd_kernel(x_ref, w0, b0, w1, b1, w2, b2, w3, b3, y_ref):
     y_ref[:] = _dot(h, w3[:].astype(bf)) + b3[:]
 
 
-def _spectral_enc(proj):
-    """[Nt, M] f32 phase → [Nt, 2M] bf16 features, entirely in VMEM."""
-    return jnp.concatenate(
-        [jnp.cos(proj), jnp.sin(proj)], axis=-1
-    ).astype(jnp.bfloat16)
-
-
 def _enc_fwd_kernel(p_ref, w0, b0, w1, b1, w2, b2, w3, b3, y_ref):
+    # The spectral features concat(cos p, sin p) @ w0 are computed as
+    # cos(p) @ w0[:M] + sin(p) @ w0[M:] — identical math, no in-kernel
+    # concatenate (concat hung this target's Mosaic compile).
     bf = jnp.bfloat16
-    x = _spectral_enc(p_ref[:])
-    h = jnp.maximum(_dot(x, w0[:].astype(bf)) + b0[:], 0).astype(bf)
+    proj = p_ref[:]
+    M = proj.shape[-1]
+    c = jnp.cos(proj).astype(bf)
+    s = jnp.sin(proj).astype(bf)
+    w0b = w0[:].astype(bf)
+    a0 = _dot(c, w0b[:M]) + _dot(s, w0b[M:]) + b0[:]
+    h = jnp.maximum(a0, 0).astype(bf)
     h = jnp.maximum(_dot(h, w1[:].astype(bf)) + b1[:], 0).astype(bf)
     h = jnp.maximum(_dot(h, w2[:].astype(bf)) + b2[:], 0).astype(bf)
     y_ref[:] = _dot(h, w3[:].astype(bf)) + b3[:]
@@ -87,15 +88,19 @@ def _enc_bwd_kernel(
     # same revisiting-accumulator + f32-preactivation-mask design as
     # _bwd_kernel, plus the spectral feature chain: recompute cos/sin from
     # the saved phase angles, run the trunk backward to g_enc, and emit
-    # dproj = cos*g_sin - sin*g_cos without any HBM intermediate.
+    # dproj = cos*g_sin - sin*g_cos without any HBM intermediate. The
+    # concat-free split-w0 form of the forward (see _enc_fwd_kernel) means
+    # dw0's two halves and g_cos/g_sin are separate dots too.
     bf = jnp.bfloat16
     first = pl.program_id(0) == 0
     proj = p_ref[:]  # [Nt, M] f32
+    M = proj.shape[-1]
     c = jnp.cos(proj)
     s = jnp.sin(proj)
-    M = proj.shape[-1]
-    x = jnp.concatenate([c, s], axis=-1).astype(bf)
-    a0 = _dot(x, w0[:].astype(bf)) + b0[:]
+    cb = c.astype(bf)
+    sb = s.astype(bf)
+    w0b = w0[:].astype(bf)
+    a0 = _dot(cb, w0b[:M]) + _dot(sb, w0b[M:]) + b0[:]
     h0 = jnp.maximum(a0, 0).astype(bf)
     a1 = _dot(h0, w1[:].astype(bf)) + b1[:]
     h1 = jnp.maximum(a1, 0).astype(bf)
@@ -119,12 +124,19 @@ def _enc_bwd_kernel(
     acc(dw1, _dot_tn(h0, gh))
     acc(db1, jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
     gh = (_dot_nt(gh, w1[:].astype(bf)) * (a0 > 0)).astype(bf)
-    acc(dw0, _dot_tn(x, gh))
+    dw0_c = _dot_tn(cb, gh)  # [M, H]
+    dw0_s = _dot_tn(sb, gh)
+
+    @pl.when(first)
+    def _():
+        dw0[...] = jnp.zeros_like(dw0)
+
+    dw0[:M] += dw0_c
+    dw0[M:] += dw0_s
     acc(db0, jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
-    g_enc = _dot_nt(gh, w0[:].astype(bf))  # [Nt, 2M] f32
-    dp_ref[:] = (
-        c * g_enc[:, M:] - s * g_enc[:, :M]
-    ).astype(dp_ref.dtype)
+    g_cos = _dot_nt(gh, w0b[:M])  # [Nt, M] f32
+    g_sin = _dot_nt(gh, w0b[M:])
+    dp_ref[:] = (c * g_sin - s * g_cos).astype(dp_ref.dtype)
 
 
 def _bwd_kernel(

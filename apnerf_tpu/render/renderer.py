@@ -61,10 +61,14 @@ def render_rays(
     near_planes: Optional[jnp.ndarray] = None,
     far_plane: float = 1e10,
     with_variance: bool = False,
+    segments: Optional[RaySegments] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Shared dense rendering pass. Returns dict with rgb/opacity/depth
-    (+sem, +n_samples, and optionally rgb_var/depth_var)."""
-    segs = march_rays(
+    (+sem, +n_samples, and optionally rgb_var/depth_var).
+
+    ``segments`` overrides the occupancy march with precomputed intervals
+    (used by ablation/bisect tooling, scripts/bisect_occ_fault.py)."""
+    segs = segments if segments is not None else march_rays(
         rays_o,
         rays_d,
         occ.binaries,
@@ -134,6 +138,7 @@ def render_train(
     occ_mean: jnp.ndarray,
     early_stop_eps: float = 1e-4,
     near_planes: Optional[jnp.ndarray] = None,
+    segments: Optional[RaySegments] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Training render (gradients flow through the field eval).
 
@@ -155,6 +160,7 @@ def render_train(
         early_stop_eps=early_stop_eps,
         occ_mean=occ_mean,
         near_planes=near_planes,
+        segments=segments,
     )
 
 

@@ -56,6 +56,7 @@ def make_spectral_config(cfg: PipelineConfig) -> spectral.SpectralConfig:
         base_freq=float(cfg.base_resolution),
         max_freq=float(cfg.max_resolution),
         num_semantic_classes=cfg.num_semantic_classes,
+        fused=cfg.fused_field,
     )
 
 

@@ -22,6 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container's sitecustomize force-registers the axon TPU plugin,
+    # overriding the env var — pin it back (verify SKILL.md gotcha)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 AABB = (-8.0, 0.0, -8.0, 0.0, 3.0, 0.0)
 
 
