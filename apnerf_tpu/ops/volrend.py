@@ -170,7 +170,24 @@ def render_outputs(
     depths = depths / jnp.clip(opacities, min=eps)
     out = {"rgb": colors, "opacity": opacities, "depth": depths}
     if sems is not None:
-        out["sem"] = accumulate_along_rays(weights, sems)
+        import os
+
+        if (
+            os.environ.get("APNERF_BF16_SEM", "0") == "1"
+            and sems.dtype == jnp.float32
+        ):
+            # bf16 operands with f32 MXU accumulation: halves the HBM
+            # traffic of the [R, S, C] logit tensors (C=29 pads 4.4x
+            # under lane tiling); logits round at ~0.4% — measure the
+            # bench PSNR canary before flipping this default
+            out["sem"] = jnp.einsum(
+                "rs,rsc->rc",
+                weights.astype(jnp.bfloat16),
+                sems.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out["sem"] = accumulate_along_rays(weights, sems)
     if render_bkgd is not None:
         out["rgb"] = out["rgb"] + render_bkgd * (1.0 - opacities)
     return out
