@@ -126,14 +126,21 @@ class ActiveNeRFMapper:
 
             from ..train.flagship import make_flagship_occ_update
 
-            if mesh is not None and cfg.fused_field == "auto":
-                # the Pallas field kernel has no GSPMD partitioning rule;
-                # sharded programs run the plain XLA chain
-                import dataclasses
+            # Mesh mode: the TRAIN phase runs under shard_map, where the
+            # program is per-device — the fused Pallas field kernel works
+            # unchanged on each device's local rays (r4; previously mesh
+            # forced fused_field="off" because GSPMD has no pallas_call
+            # partitioning rule). The GSPMD-sharded paths that remain
+            # (candidate/eval renderers, occ EMA update) still need the
+            # plain XLA chain, so they build from ``cfg_gspmd``.
+            import dataclasses
 
-                cfg = dataclasses.replace(cfg, fused_field="off")
-                self.cfg = cfg
-            self.spectral_cfg = make_spectral_config(cfg)
+            cfg_gspmd = (
+                dataclasses.replace(cfg, fused_field="off")
+                if mesh is not None else cfg
+            )
+            self._cfg_gspmd = cfg_gspmd
+            self.spectral_cfg = make_spectral_config(cfg_gspmd)
             self.prop_cfg = make_prop_config(cfg)
             self.state: EnsembleState = init_flagship_ensemble(
                 self._next_key(), cfg
@@ -141,13 +148,13 @@ class ActiveNeRFMapper:
             self._make_phase = make_flagship_train_phase
             # flagship occ EMA runs once per scan chunk, outside the scan
             # (train/flagship.py make_flagship_occ_update)
-            self._occ_update_fn = make_flagship_occ_update(cfg)
+            self._occ_update_fn = make_flagship_occ_update(cfg_gspmd)
             if mesh is not None:
                 from ..parallel.mesh import shard_ensemble_state
-                from ..parallel.sharding import make_sharded_flagship_phase
+                from ..parallel.sharding import make_shardmap_flagship_phase
 
                 self._make_phase = partial(
-                    make_sharded_flagship_phase, mesh=mesh
+                    make_shardmap_flagship_phase, mesh=mesh
                 )
                 self.state = shard_ensemble_state(self.state, mesh)
         else:
@@ -208,6 +215,9 @@ class ActiveNeRFMapper:
             [] for _ in range(cfg.planning_step)
         ]
         self.policy_type = "uncertainty"  # pipeline.py:140-143
+        # overlapped planning loop (see planning()): host sample_traj runs
+        # while the device trains; False restores strict alternation
+        self.overlap_planning = True
         # per-planning-step visualization dumps (pipeline.py:918-1023)
         self.save_viz = True
         self.viz_scale = eval_scale
@@ -225,10 +235,11 @@ class ActiveNeRFMapper:
             from ..parallel.sharding import make_sharded_candidate_renderer
 
             r_unc = make_sharded_candidate_renderer(
-                cfg, mesh, max_samples_unc, with_variance=True
+                self._cfg_gspmd, mesh, max_samples_unc, with_variance=True
             )
             r_eval = make_sharded_candidate_renderer(
-                cfg, mesh, cfg.max_samples_test, with_variance=False
+                self._cfg_gspmd, mesh, cfg.max_samples_test,
+                with_variance=False,
             )
             # the sharded renderer ignores occ (flagship path: the grid is
             # planner-only state, not in the sampling path)
@@ -458,13 +469,24 @@ class ActiveNeRFMapper:
         planning_step: int = -1,
         evaluate: bool = True,
         pre_sync_hook=None,
+        deferred: bool = False,
     ):
         """``pre_sync_hook``: optional host-side callable run AFTER all
         train chunks are dispatched but BEFORE the loss readback — JAX
         dispatch is async, so host work in the hook (viz encoding,
         simulator rendering) overlaps device training instead of
         serializing against it (SURVEY.md §7 "host/device loop structure";
-        the reference strictly alternates, ``pipeline.py:1025-1224``)."""
+        the reference strictly alternates, ``pipeline.py:1025-1224``).
+
+        ``deferred``: dispatch-only mode for the overlapped planning loop —
+        all chunks (and per-chunk occ updates) are enqueued and a
+        ``finalize()`` closure is returned instead of the loss list; the
+        host is free to run planning work (``sample_traj``) while the
+        device trains. In this mode evaluation and checkpoints are the
+        caller's responsibility (the planning loop dispatches them with
+        the settled phase state), and the mid-phase checkpoint cadence
+        becomes per-phase (a mid-dispatch ``np.asarray`` would serialize
+        the device queue)."""
         cfg = self.cfg
         from ..train.phase import make_train_phase, pools_from_dataset
 
@@ -515,8 +537,33 @@ class ActiveNeRFMapper:
             self.learning_rate_lst.append(
                 float(self._schedule(step0 + done))
             )
-            if done % self.checkpoint_every < chunk:
+            if not deferred and done % self.checkpoint_every < chunk:
                 self.save_checkpoints()
+
+        if deferred:
+            def finalize():
+                vals = [float(v) for arr in losses for v in np.asarray(arr)]
+                dt = _time.perf_counter() - t_phase
+                samples = (
+                    steps * cfg.n_ensembles * cfg.num_rays
+                    * cfg.max_samples_train
+                )
+                self.throughput_log.append({
+                    "planning_step": planning_step,
+                    "steps": steps,
+                    "seconds": dt,
+                    "samples_per_sec": samples / max(dt, 1e-9),
+                    "rays_per_sec": steps * cfg.n_ensembles * cfg.num_rays
+                    / max(dt, 1e-9),
+                    # dispatch→finalize wall-clock: host planning work ran
+                    # inside this window, so samples_per_sec here is a
+                    # lower bound on device throughput
+                    "overlapped": True,
+                })
+                return vals
+
+            return finalize
+
         hook_s = 0.0
         if pre_sync_hook is not None:
             t_hook = _time.perf_counter()
@@ -550,14 +597,23 @@ class ActiveNeRFMapper:
     def _current_lr(self) -> float:
         return float(self._schedule(int(self.state.step)))
 
-    def _evaluate(self, planning_step: int):
+    def _evaluate(self, planning_step: int, state: Optional[EnsembleState] = None):
+        return self._evaluate_start(planning_step, state)()
+
+    def _evaluate_start(
+        self, planning_step: int, state: Optional[EnsembleState] = None
+    ):
         """PSNR / depth-MSE / semantic-CE over the test set with member 0
         (the reference's intended-but-dead eval, ``pipeline.py:546-613``),
         rendered as proper eval_scale-resolution images so LPIPS(VGG) and
         mIoU are also computed (reference tracks LPIPS at
-        ``pipeline.py:596-613``; gated off gracefully without weights)."""
-        from ..utils.metrics import lpips_vgg, miou
+        ``pipeline.py:596-613``; gated off gracefully without weights).
 
+        Dispatches the test-set render asynchronously and returns a closure
+        that reads it back and computes/records the metrics — the
+        overlapped planning loop dispatches it before the next train
+        phase's chunks so the readback never queues behind training."""
+        state = state if state is not None else self.state
         ds = self.test_dataset
         poses = self._test_poses
         cfg = self.cfg
@@ -567,8 +623,21 @@ class ActiveNeRFMapper:
         rays = self._pose7_to_grid_rays(poses, oh, ow)
         bkgd = jnp.ones(3)
         out = self._render_eval(
-            self.state.params, self.state.occ, rays.origins, rays.viewdirs, bkgd
+            state.params, state.occ, rays.origins, rays.viewdirs, bkgd
         )
+
+        def finish():
+            return self._evaluate_finish(out, planning_step, oh, ow)
+
+        return finish
+
+    def _evaluate_finish(self, out, planning_step: int, oh: int, ow: int):
+        from ..utils.metrics import lpips_vgg, miou
+
+        ds = self.test_dataset
+        poses = self._test_poses
+        cfg = self.cfg
+        W, H = cfg.img_w, cfg.img_h
         # member 0 predictions (reference evaluates model_idx == 0)
         ys = (np.arange(oh) * H) // oh
         xs = (np.arange(ow) * W) // ow
@@ -667,13 +736,41 @@ class ActiveNeRFMapper:
     # per-step visualization (pipeline.py:918-1023)
     # ------------------------------------------------------------------
 
-    def render(self, traj: np.ndarray):
+    def render(self, traj: np.ndarray, state: Optional[EnsembleState] = None):
+        self.render_start(traj, state)()
+
+    def render_start(
+        self, traj: np.ndarray, state: Optional[EnsembleState] = None
+    ):
         """Dump the reference's per-planning-step viz artifacts: chase-cam
         frames ``viz/<n>.png``, top-down ``viz/top/<n>.png``, and
         first-person GT-vs-NeRF panels under ``viz/fpv/{gt,pd}_{rgb,dep,
         sem}`` + ``viz/fpv/pd_occ`` (layout: reference README.md:81-91,
         writer ``pipeline.py:918-1023``). Predictions render member 0 at
-        ``viz_scale`` resolution; GT is stride-downsampled to match."""
+        ``viz_scale`` resolution; GT is stride-downsampled to match.
+
+        The device prediction render dispatches immediately (with
+        ``state`` — the overlapped planning loop passes the settled
+        pre-train state, matching the reference's render-before-train
+        order, ``pipeline.py:918-1224``); the returned closure does the
+        host-side simulator renders + PNG encoding."""
+        state = state if state is not None else self.state
+        cfg = self.cfg
+        W, H = cfg.img_w, cfg.img_h
+        oh, ow = max(int(H * self.viz_scale), 1), max(int(W * self.viz_scale), 1)
+        traj = np.asarray(traj)
+        rays = self._pose7_to_grid_rays(traj, oh, ow)
+        out = self._render_eval(
+            state.params, state.occ, rays.origins, rays.viewdirs,
+            jnp.ones(3),
+        )
+
+        def finish():
+            return self._render_finish(traj, out, oh, ow)
+
+        return finish
+
+    def _render_finish(self, traj: np.ndarray, out, oh: int, ow: int):
         import imageio.v2 as imageio
 
         viz = os.path.join(self.save_path, "viz")
@@ -683,7 +780,6 @@ class ActiveNeRFMapper:
                     "pd_rgb", "pd_dep", "pd_sem", "pd_occ"):
             os.makedirs(os.path.join(fpv, sub), exist_ok=True)
 
-        traj = np.asarray(traj)
         step = self.sim_step
         for img in np.asarray(self.sim.render_tpv(traj)):
             imageio.imwrite(
@@ -699,16 +795,10 @@ class ActiveNeRFMapper:
 
         cfg = self.cfg
         W, H = cfg.img_w, cfg.img_h
-        oh, ow = max(int(H * self.viz_scale), 1), max(int(W * self.viz_scale), 1)
         gt_rgb, gt_dep, gt_sem = self.sim.sample_images_from_poses(traj)
         # strided downsample to the prediction resolution
         ys = (np.arange(oh) * H) // oh
         xs = (np.arange(ow) * W) // ow
-        rays = self._pose7_to_grid_rays(traj, oh, ow)
-        out = self._render_eval(
-            self.state.params, self.state.occ, rays.origins, rays.viewdirs,
-            jnp.ones(3),
-        )
         pd_rgb = np.asarray(out["rgb"][0]).reshape(len(traj), oh, ow, 3)
         pd_dep = np.asarray(out["depth"][0]).reshape(len(traj), oh, ow)
         pd_sem = np.argmax(
@@ -771,61 +861,167 @@ class ActiveNeRFMapper:
     # phase 4: the planning loop (pipeline.py:1025-1224)
     # ------------------------------------------------------------------
 
+    def _sample_candidates(self, binaries_host, current_state):
+        """Host-side trajectory candidate generation from a settled
+        binaries snapshot (pipeline.py:1043-1060 layout swap +
+        planning_funcs.sample_traj)."""
+        cfg = self.cfg
+        vg = np.swapaxes(binaries_host[0], 1, 2)
+        vg1 = np.swapaxes(
+            binaries_host[1] if binaries_host.shape[0] > 1 else binaries_host[0],
+            1, 2,
+        )
+        xyz_state = current_state[[0, 2, 1]]
+        aabb = np.asarray(cfg.aabb)[[0, 2, 1, 3, 5, 4]]
+        return sample_traj(
+            voxel_grid=np.array([vg, vg1]),
+            current_state=xyz_state,
+            N_traj=cfg.num_traj,
+            aabb=aabb,
+            cost_map=self.cost_map,
+            visiting_map=self.visiting_map,
+            save_path=self.save_path,
+            N_sample_disc=cfg.sample_disc,
+            voxel_grid_size=cfg.main_grid_size,
+            sim=self.sim,
+            rng=self.rng,
+        )
+
+    def _score_candidates(self, candidates, step):
+        """Queue every candidate's render+score, then sync once — the
+        device renders candidate k while the host builds rays for k+1
+        (vs the reference's 20 blocking syncs, pipeline.py:666)."""
+        pis = [self.dispatch_uncertainty(c) for c in candidates]
+        comps = np.asarray(
+            [[p.rgb, p.depth, p.sem, p.occ] for p in pis], dtype=float
+        )
+        self.trajector_uncertainty_list[step - 1].extend(comps.tolist())
+        best = int(np.argmax(comps.sum(axis=1)))
+        chosen = candidates[best]
+        n = len(chosen)
+        a = np.linspace(0, n - 20, 20)
+        b = np.linspace(n - 20, n - 1, 20)
+        unc_idx = np.hstack((a, b)).astype(int)
+        return chosen, chosen[unc_idx]
+
+    def _observe_and_update(self, fly_poses):
+        """Fly the chosen trajectory: render observations in the simulator,
+        fuse depth scans into the cost map (last 6 views,
+        pipeline.py:1115-1138), append to the train dataset."""
+        images, depths, sems = self.sim.sample_images_from_poses(fly_poses)
+        mats = [pose_matrix_from_quat(p[:3], p[3:]) for p in fly_poses]
+        for mat, d in zip(mats[-6:], depths[-6:]):
+            self._update_cost_map_from_depth(mat, d)
+        self.train_dataset.update_data(
+            images[..., :3], depths, sems, np.array(mats)
+        )
+
+    def _should_stop(self, step) -> bool:
+        """Stop criterion (pipeline.py:1213-1224)."""
+        past = [
+            np.mean(np.asarray(u), axis=0)
+            for u in self.trajector_uncertainty_list[:step]
+            if len(u) > 0
+        ]
+        if len(past) >= 5:
+            unc = np.max(np.asarray(past), axis=1)
+            if np.all(unc[-5:] > 0.05):
+                return True
+        return False
+
+    def _eval_due(self, planning_step: int) -> bool:
+        return self.test_dataset is not None and (
+            planning_step == 0 or (planning_step + 1) % 2 == 0
+        )
+
     def planning(self, steps: int, training_steps_per_step: int):
+        """The active loop. Default (``overlap_planning=True``): each
+        step's train phase is dispatched asynchronously and the NEXT
+        step's host planning (``sample_traj``: Dijkstra + MinSnap + SE3
+        rollouts × num_traj) runs while the device trains; candidate
+        renders queue behind the chunks, so the single sync point per
+        step is the PI readback. Eval/viz prediction renders dispatch
+        with the settled phase state BEFORE the next phase's chunks, so
+        their readbacks never block on training. Dataflow parity with the
+        reference (``pipeline.py:1025-1224``) except: (a) ``sample_traj``
+        consumes the binaries snapshot from before the in-flight phase
+        (one train phase stale — the grid is EMA-consolidated and the
+        planner dilates it anyway), (b) checkpoints save once per phase
+        instead of every 1000 steps (a mid-dispatch save would serialize
+        the device queue). ``overlap_planning=False`` restores strict
+        alternation for A/B timing."""
+        if not self.overlap_planning:
+            return self._planning_serial(steps, training_steps_per_step)
+        cfg = self.cfg
+        current_state = self.global_origin[:3].copy()
+        step = 0
+        flag = True
+        # settled post-initial-train snapshot (device idle here)
+        binaries_host = np.asarray(self.state.occ.binaries)
+        pending = None          # finalize() of the in-flight train phase
+        pending_step = 0
+        deferred_host = []      # host work for renders dispatched pre-phase
+        while flag and step < cfg.planning_step:
+            step += 1
+            # ---- host planning; overlaps the in-flight train phase ----
+            candidates = self._sample_candidates(binaries_host, current_state)
+            chosen, fly_poses = self._score_candidates(candidates, step)
+            # ^ the PI readback inside is the step's one device sync
+            if pending is not None:
+                pending()       # losses already computed; no device wait
+                pending = None
+            state_k = self.state        # settled post-phase ensemble state
+            prev_step = pending_step
+            for fn in deferred_host:    # PNG/metric work, renders settled
+                fn()
+            deferred_host = []
+            # ---- observe (host; the next phase needs this data) ----
+            self._observe_and_update(fly_poses)
+            current_state = fly_poses[-1, :3]
+            self.current_pose = chosen[-1]
+            binaries_host = np.asarray(state_k.occ.binaries)
+            # ---- dispatch quick renders BEFORE the next phase's chunks ----
+            if prev_step > 0 and self._eval_due(prev_step):
+                deferred_host.append(
+                    self._evaluate_start(prev_step, state=state_k)
+                )
+            if self.save_viz:
+                deferred_host.append(
+                    self.render_start(fly_poses, state=state_k)
+                )
+            deferred_host.append(
+                lambda s=state_k: self.save_checkpoints(state=s)
+            )
+            # ---- dispatch this step's train phase (async) ----
+            pending = self.nerf_training(
+                training_steps_per_step, planning_step=step, deferred=True,
+            )
+            pending_step = step
+            flag = not self._should_stop(step)
+        if pending is not None:
+            pending()
+            for fn in deferred_host:
+                fn()
+            deferred_host = []
+            if self._eval_due(pending_step):
+                self._evaluate(pending_step)
+            self.save_checkpoints()
+        return step
+
+    def _planning_serial(self, steps: int, training_steps_per_step: int):
+        """r3 behavior: strict plan→score→fly→train alternation (the
+        reference's structure, pipeline.py:1025-1224), with the viz dump
+        overlapped via pre_sync_hook."""
         cfg = self.cfg
         current_state = self.global_origin[:3].copy()
         step = 0
         flag = True
         while flag and step < cfg.planning_step:
             step += 1
-            # ensemble binary grids → planner layout (pipeline.py:1043-1060)
             binaries = np.asarray(self.state.occ.binaries)  # [E, X, Y, Z]
-            vg = np.swapaxes(binaries[0], 1, 2)
-            vg1 = np.swapaxes(binaries[1] if binaries.shape[0] > 1 else binaries[0], 1, 2)
-            xyz_state = current_state[[0, 2, 1]]
-            aabb = np.asarray(cfg.aabb)[[0, 2, 1, 3, 5, 4]]
-
-            candidates = sample_traj(
-                voxel_grid=np.array([vg, vg1]),
-                current_state=xyz_state,
-                N_traj=cfg.num_traj,
-                aabb=aabb,
-                cost_map=self.cost_map,
-                visiting_map=self.visiting_map,
-                save_path=self.save_path,
-                N_sample_disc=cfg.sample_disc,
-                voxel_grid_size=cfg.main_grid_size,
-                sim=self.sim,
-                rng=self.rng,
-            )
-
-            # queue every candidate's render+score, then sync once — the
-            # device renders candidate k while the host builds rays for
-            # k+1 (vs the reference's 20 blocking syncs, pipeline.py:666)
-            pis = [self.dispatch_uncertainty(c) for c in candidates]
-            comps = np.asarray(
-                [[p.rgb, p.depth, p.sem, p.occ] for p in pis], dtype=float
-            )
-            self.trajector_uncertainty_list[step - 1].extend(
-                comps.tolist()
-            )
-            uncertainties = comps.sum(axis=1)
-            best = int(np.argmax(uncertainties))
-            chosen = candidates[best]
-            n = len(chosen)
-            a = np.linspace(0, n - 20, 20)
-            b = np.linspace(n - 20, n - 1, 20)
-            unc_idx = np.hstack((a, b)).astype(int)
-            fly_poses = chosen[unc_idx]
-
-            images, depths, sems = self.sim.sample_images_from_poses(fly_poses)
-            mats = [pose_matrix_from_quat(p[:3], p[3:]) for p in fly_poses]
-            # cost map from the last 6 views (pipeline.py:1115-1138)
-            for mat, d in zip(mats[-6:], depths[-6:]):
-                self._update_cost_map_from_depth(mat, d)
-            self.train_dataset.update_data(
-                images[..., :3], depths, sems, np.array(mats)
-            )
+            candidates = self._sample_candidates(binaries, current_state)
+            chosen, fly_poses = self._score_candidates(candidates, step)
+            self._observe_and_update(fly_poses)
             current_state = fly_poses[-1, :3]
             self.current_pose = chosen[-1]
 
@@ -842,34 +1038,27 @@ class ActiveNeRFMapper:
                 training_steps_per_step, planning_step=step,
                 pre_sync_hook=viz_hook,
             )
-
-            # stop criterion (pipeline.py:1213-1224)
-            past = [
-                np.mean(np.asarray(u), axis=0)
-                for u in self.trajector_uncertainty_list[:step]
-                if len(u) > 0
-            ]
-            if len(past) >= 5:
-                unc = np.max(np.asarray(past), axis=1)
-                if np.all(unc[-5:] > 0.05):
-                    flag = False
+            flag = not self._should_stop(step)
         return step
 
     # ------------------------------------------------------------------
     # persistence (pipeline.py:1226-1274; SURVEY.md §5 layout)
     # ------------------------------------------------------------------
 
-    def save_checkpoints(self):
+    def save_checkpoints(self, state: Optional[EnsembleState] = None):
         """Per-member checkpoint with the full reference contract
         ``{occ_grid, model, optimizer_state_dict}`` plus the step counter
         (``pipeline.py:616-636``) — enough to resume mid-training without
-        resetting Adam moments."""
+        resetting Adam moments. ``state`` lets the overlapped planning
+        loop checkpoint the settled phase state while the next phase is
+        in flight."""
+        state = state if state is not None else self.state
         ckpt_dir = os.path.join(self.save_path, "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
-        opt_leaves = jax.tree_util.tree_leaves(self.state.opt_state)
+        opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
         for i in range(self.cfg.n_ensembles):
             member_params = jax.tree.map(lambda x: np.asarray(x[i]),
-                                         self.state.params)
+                                         state.params)
             flat = {}
 
             def _flatten(prefix, tree):
@@ -889,9 +1078,9 @@ class ActiveNeRFMapper:
                 ] == self.cfg.n_ensembles else arr
             np.savez(
                 os.path.join(ckpt_dir, f"model_{i}.npz"),
-                occ_grid=np.asarray(self.state.occ.binaries[i]),
-                occs=np.asarray(self.state.occ.occs[i]),
-                step=int(self.state.step),
+                occ_grid=np.asarray(state.occ.binaries[i]),
+                occs=np.asarray(state.occ.occs[i]),
+                step=int(state.step),
                 **flat,
             )
 

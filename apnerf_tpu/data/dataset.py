@@ -51,12 +51,25 @@ def fetch_rays(
     key: jax.Array,
     num_rays: int,
     training: bool = True,
+    shard: Optional[Tuple[jnp.ndarray, int]] = None,
 ) -> RayBatch:
-    """Jittable pixel→ray fetch for one image (``habitat_to_data.py:205-272``)."""
+    """Jittable pixel→ray fetch for one image (``habitat_to_data.py:205-272``).
+
+    ``shard=(shard_idx, n_shards)``: draw the SAME ``num_rays`` global
+    pixel indices as the unsharded fetch, then gather only this shard's
+    contiguous ``num_rays // n_shards`` slice — so a shard_map
+    data-parallel phase sees bit-identical rays to the single-device
+    phase (index generation is trivial; only the pixel gathers are
+    sharded)."""
     H, W = images.shape[1], images.shape[2]
     k_x, k_y, k_bkgd = jax.random.split(key, 3)
     x = jax.random.randint(k_x, (num_rays,), 0, W)
     y = jax.random.randint(k_y, (num_rays,), 0, H)
+    if shard is not None:
+        shard_idx, n_shards = shard
+        local = num_rays // n_shards
+        x = jax.lax.dynamic_slice_in_dim(x, shard_idx * local, local)
+        y = jax.lax.dynamic_slice_in_dim(y, shard_idx * local, local)
     img = jax.lax.dynamic_index_in_dim(images, image_idx, keepdims=False)
     dep = jax.lax.dynamic_index_in_dim(depths, image_idx, keepdims=False)
     sem = jax.lax.dynamic_index_in_dim(semantics, image_idx, keepdims=False)

@@ -67,6 +67,106 @@ def make_sharded_flagship_phase(cfg: PipelineConfig, mesh: Mesh, schedule=None):
     )
 
 
+def make_shardmap_flagship_phase(cfg: PipelineConfig, mesh: Mesh, schedule=None):
+    """Flagship multi-step phase under ``shard_map``: members over ``ens``,
+    rays over ``data``, explicit ``pmean`` gradient all-reduce over ICI —
+    the manual-collective twin of ``make_sharded_flagship_phase``.
+
+    Why shard_map instead of GSPMD sharding constraints: the program
+    inside shard_map is per-device, so the fused Pallas field kernel
+    (``ops/pallas/fused_mlp.fused_spectral_field`` — embarrassingly
+    data-parallel over rays, no cross-chip traffic inside the kernel)
+    runs unchanged on each device's local rays; GSPMD has no partitioning
+    rule for ``pallas_call`` and previously forced mesh mode onto the
+    slower XLA chain (r3 ``mapper.py:129-135``).
+
+    Parity contract with ``train/phase.make_train_phase``: identical
+    per-member image picks, identical global pixel indices (each data
+    shard gathers its contiguous slice — ``data/dataset.fetch_rays``
+    ``shard=``), loss = pmean of local ray means = the global mean."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ..data.dataset import fetch_rays
+    from ..train.flagship import make_flagship_member_core
+    from ..train.phase import _sample_pool_index
+
+    E = cfg.n_ensembles
+    n_ens, n_data = mesh.shape["ens"], mesh.shape["data"]
+    if E % n_ens != 0:
+        raise ValueError(f"n_ensembles {E} % mesh ens axis {n_ens} != 0")
+    if cfg.num_rays % n_data != 0:
+        raise ValueError(f"num_rays {cfg.num_rays} % data axis {n_data} != 0")
+    E_l = E // n_ens
+    member_core = make_flagship_member_core(
+        cfg, schedule, grad_reduce=lambda g: jax.lax.pmean(g, "data"),
+    )
+
+    def body(state, images, depths, semantics, camtoworlds, K,
+             pools, counts, size, keys, occ_thre, recent_bias):
+        ei = jax.lax.axis_index("ens")
+        di = jax.lax.axis_index("data")
+
+        def slice_members(ks):
+            # same per-GLOBAL-member keys as the unsharded phase
+            return jax.lax.dynamic_slice_in_dim(ks, ei * E_l, E_l)
+
+        def one_step(st, key):
+            k_pick, k_fetch, k_occ = jax.random.split(key, 3)
+            pick_keys = slice_members(jax.random.split(k_pick, E))
+            image_idx = jax.vmap(
+                lambda p, c, k: _sample_pool_index(
+                    p, c, k, recent_bias, size, cfg.sample_disc
+                )
+            )(pools, counts, pick_keys)
+            fetch_keys = slice_members(jax.random.split(k_fetch, E))
+            batch = jax.vmap(
+                lambda idx, k: fetch_rays(
+                    images, depths, semantics, camtoworlds, K, idx, k,
+                    cfg.num_rays, training=True, shard=(di, n_data),
+                )
+            )(image_idx, fetch_keys)
+            occ_keys = slice_members(jax.random.split(k_occ, E))
+            vstep = jax.vmap(member_core, in_axes=(0, 0, 0, 0, 0, None, None))
+            params, opt_state, occ, loss, *_rest = vstep(
+                st.params, st.opt_state, st.occ, batch, occ_keys,
+                st.step, occ_thre,
+            )
+            loss = jax.lax.pmean(loss, "data")
+            new_st = EnsembleState(
+                params=params, opt_state=opt_state, occ=occ,
+                step=st.step + 1,
+            )
+            return new_st, loss
+
+        return jax.lax.scan(
+            one_step, state, keys,
+            unroll=int(os.environ.get("APNERF_SCAN_UNROLL", "1")),
+        )
+
+    @jax.jit
+    def phase_fn(state, images, depths, semantics, camtoworlds, K,
+                 pools, counts, size, keys, occ_thre, recent_bias):
+        def leaf_spec(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == E:
+                return P("ens")
+            return P()
+
+        state_spec = jax.tree.map(leaf_spec, state)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(state_spec, P(), P(), P(), P(), P(),
+                      P("ens"), P("ens"), P(), P(), P(), P()),
+            out_specs=(state_spec, P(None, "ens")),
+            check_vma=False,
+        )
+        return f(state, images, depths, semantics, camtoworlds, K,
+                 pools, counts, size, keys, occ_thre, recent_bias)
+
+    return phase_fn
+
+
 def make_sharded_candidate_renderer(
     cfg: PipelineConfig, mesh: Mesh, max_samples: int,
     with_variance: bool = True,

@@ -95,11 +95,19 @@ def init_flagship_ensemble(
 
 
 def make_flagship_member_core(
-    cfg: PipelineConfig, schedule: Optional[Callable] = None
+    cfg: PipelineConfig, schedule: Optional[Callable] = None,
+    grad_reduce: Optional[Callable] = None,
 ):
     """One member's flagship train logic; same signature as
     ``step.make_member_core`` so ``phase.make_train_phase`` and the
-    sharded path can consume it unchanged."""
+    sharded path can consume it unchanged.
+
+    ``grad_reduce``: optional collective applied to the raw gradients
+    before the NaN guard and Adam — the shard_map data-parallel phase
+    passes ``lambda g: jax.lax.pmean(g, "data")`` so every data replica
+    updates from the identical global-mean gradient (the NaN guard then
+    agrees across replicas by construction: NaN propagates through
+    pmean)."""
     s_cfg = make_spectral_config(cfg)
     p_cfg = make_prop_config(cfg)
     opt = make_optimizer(cfg, schedule or default_spectral_schedule(cfg))
@@ -146,6 +154,8 @@ def make_flagship_member_core(
             return loss, (l_rgb, l_dep, l_sem, out["n_samples"])
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if grad_reduce is not None:
+            grads = grad_reduce(grads)
 
         flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
         bad = ~jnp.all(jnp.isfinite(flat_grads))
