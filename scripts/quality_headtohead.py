@@ -32,14 +32,15 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 AABB = (-8.0, 0.0, -8.0, 0.0, 3.0, 0.0)
 
 
-def run_path(field_type, sampler_type, steps, img, seed=9):
+def run_path(field_type, sampler_type, steps, img, seed=9, scene="fake"):
     import jax
 
     from apnerf_tpu.active.mapper import ActiveNeRFMapper
     from apnerf_tpu.config import PipelineConfig
-    from apnerf_tpu.sim.fake import FakeSim
+    from apnerf_tpu.sim.fake import FakeSim, hard_room
 
-    sim = FakeSim(aabb=AABB, img_w=img, img_h=img)
+    boxes = hard_room(aabb=AABB) if scene == "hard" else None
+    sim = FakeSim(aabb=AABB, img_w=img, img_h=img, boxes=boxes)
     center = [-4.0, 1.5, -4.0]
     # 4 held-out test poses x 4 yaws (the mapper's test grid)
     test_loc = [
@@ -86,13 +87,43 @@ def main():
         "--paths", default="spectral+prop,ngp+occ",
         help="comma-separated field+sampler pairs",
     )
+    ap.add_argument(
+        "--scene", default="fake", choices=("fake", "hard"),
+        help="fake = smooth analytic room; hard = dense textured clutter "
+        "(sim/fake.py hard_room — the anchor that is NOT kind to a "
+        "global Fourier field)",
+    )
+    ap.add_argument(
+        "--preset", default=None, choices=(None, "cpu-tiny"),
+        help="cpu-tiny: 200 steps at 128px — the ONLY configuration that "
+        "finishes in minutes on CPU; the defaults are TPU-sized and "
+        "would take hours off-chip",
+    )
     args = ap.parse_args()
+    if args.preset == "cpu-tiny":
+        args.steps, args.img = 200, 128
+
+    import jax
+
+    if (
+        jax.default_backend() != "tpu"
+        and args.preset != "cpu-tiny"
+        and args.steps * args.img >= 2000 * 640
+    ):
+        print(
+            "WARNING: TPU-sized defaults on a non-TPU backend — this run "
+            "will take HOURS. Use --preset cpu-tiny for a smoke run.",
+            file=sys.stderr, flush=True,
+        )
 
     rows = []
     for pair in args.paths.split(","):
         f, s = pair.split("+")
-        print(f"== {pair} ({args.steps} steps) ==", flush=True)
-        r = run_path(f, s, args.steps, args.img)
+        print(
+            f"== {pair} ({args.steps} steps, scene={args.scene}) ==",
+            flush=True,
+        )
+        r = run_path(f, s, args.steps, args.img, scene=args.scene)
         rows.append(r)
         print(
             f"{r['path']:16s} PSNR={r['psnr']:6.2f} depthMSE={r['depth_mse']:7.4f} "
@@ -101,7 +132,10 @@ def main():
             flush=True,
         )
 
-    print("\n| path | PSNR | depth MSE | sem CE | LPIPS | mIoU | train s | samples/s |")
+    print(
+        f"\nscene={args.scene} steps={args.steps} img={args.img}^2\n"
+        "| path | PSNR | depth MSE | sem CE | LPIPS | mIoU | train s | samples/s |"
+    )
     print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(

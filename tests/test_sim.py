@@ -83,3 +83,24 @@ def test_custom_boxes_semantics():
     rgb, depth, sem = sim.sample_images_from_poses([pose])
     assert sem[0, 16, 16] == 7
     assert abs(depth[0, 16, 16] - 1.5) < 0.1
+
+
+def test_hard_room_scene():
+    """hard_room (sim/fake.py): the adversarial quality-anchor scene —
+    dense textured clutter, deterministic, many semantic classes, and
+    textures that default_room does not have."""
+    from apnerf_tpu.sim.fake import hard_room
+
+    aabb = (-8.0, 0.0, -8.0, 0.0, 3.0, 0.0)
+    sim = FakeSim(aabb=aabb, img_w=64, img_h=64, boxes=hard_room(aabb))
+    assert sim.num_semantic_classes > 20
+    pose = np.array([-4.0, 1.5, -4.0, 0, 0, 0, 1.0])
+    r1, d1, s1 = sim.render_pose(pose)
+    r2, d2, s2 = sim.render_pose(pose)
+    np.testing.assert_array_equal(r1, r2)  # deterministic
+    assert len(np.unique(s1)) >= 5  # clutter visible
+    assert np.isfinite(d1).all()
+    # checkerboard texture: many distinct shades on textured surfaces
+    smooth = FakeSim(aabb=aabb, img_w=64, img_h=64)
+    rs, _, _ = smooth.render_pose(pose)
+    assert len(np.unique(r1[..., 0])) > len(np.unique(rs[..., 0]))
