@@ -21,6 +21,7 @@ Semantics matched (file:line into /root/reference):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -170,8 +171,6 @@ def render_outputs(
     depths = depths / jnp.clip(opacities, min=eps)
     out = {"rgb": colors, "opacity": opacities, "depth": depths}
     if sems is not None:
-        import os
-
         if (
             os.environ.get("APNERF_BF16_SEM", "0") == "1"
             and sems.dtype == jnp.float32
