@@ -180,10 +180,13 @@ class ActiveNeRFMapper:
         self.train_phase_fn = self._make_phase(cfg)
         # steps per compiled scan chunk: large enough to amortize dispatch,
         # small enough to keep checkpoint/LR bookkeeping cadence. The occ
-        # path caps at 5: long scans of the hash+lattice program fault the
-        # v5e (r1: 25-step scans faulted; re-bisected 2026-08-16 after the
-        # layout rewrites: 10 faults, 5 runs). The flagship path runs 25+
-        # cleanly.
+        # path caps at 5: the full bisect sweep (scripts/bisect_occ_fault
+        # .py, 2026-08-17, docs/PERFORMANCE.md "occ-path TPU fault") shows
+        # any >=10-step scan containing the HASH FIELD crashes the v5e
+        # worker — with or without lattice march / compaction / occ
+        # update — while every hash-free program runs 25-step chunks
+        # cleanly. The cap is a workaround for the hash gather/scatter
+        # fault, not a traversal property.
         cap = 25 if self.use_prop else 5
         self.steps_per_call = min(cap, max(cfg.training_steps, 1))
 

@@ -32,7 +32,8 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 AABB = (-8.0, 0.0, -8.0, 0.0, 3.0, 0.0)
 
 
-def run_path(field_type, sampler_type, steps, img, seed=9, scene="fake"):
+def run_path(field_type, sampler_type, steps, img, seed=9, scene="fake",
+             tiny=False):
     import jax
 
     from apnerf_tpu.active.mapper import ActiveNeRFMapper
@@ -51,17 +52,22 @@ def run_path(field_type, sampler_type, steps, img, seed=9, scene="fake"):
         [0.0, float(np.sin(a / 2)), 0.0, float(np.cos(a / 2))]
         for a in (0.7, 2.1, 3.9, 5.2)
     ]
+    shrink = dict(
+        num_rays=256, max_samples_train=32, max_samples_test=64,
+        spectral_neurons=64, main_neurons=64, log2_hashmap_size=15,
+    ) if tiny else dict(num_rays=2048, max_samples_train=128,
+                        max_samples_test=256)
     cfg = PipelineConfig(
         aabb=AABB,
         num_semantic_classes=sim.num_semantic_classes,
-        n_ensembles=2, num_rays=2048,
-        max_samples_train=128, max_samples_test=256,
+        n_ensembles=2,
         max_images=64, img_w=img, img_h=img,
         training_steps=steps,
         field_type=field_type, sampler_type=sampler_type,
         global_origin=tuple(center) + (0.0, 0.0, 0.0, 1.0),
         test_loc=tuple(tuple(l) for l in test_loc),
         test_quat=tuple(tuple(q) for q in test_quat),
+        **shrink,
     )
     save = tempfile.mkdtemp(prefix=f"h2h_{field_type}_")
     mapper = ActiveNeRFMapper(cfg, sim, save_path=save, seed=seed)
@@ -123,7 +129,8 @@ def main():
             f"== {pair} ({args.steps} steps, scene={args.scene}) ==",
             flush=True,
         )
-        r = run_path(f, s, args.steps, args.img, scene=args.scene)
+        r = run_path(f, s, args.steps, args.img, scene=args.scene,
+                     tiny=args.preset == "cpu-tiny")
         rows.append(r)
         print(
             f"{r['path']:16s} PSNR={r['psnr']:6.2f} depthMSE={r['depth_mse']:7.4f} "
