@@ -280,11 +280,17 @@ class ActiveNeRFMapper:
             s_cfg, p_cfg = self.spectral_cfg, self.prop_cfg
             aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
 
+            import os as _os
+
             @jax.jit
             def render_jit(params, occ, origins, viewdirs, bkgd, key):
+                reassoc = _os.environ.get("APNERF_SEM_REASSOC", "1") == "1"
+
                 def member(p, o):
                     def field_fn(pos, dirs):
-                        return spectral.forward(p["main"], s_cfg, pos, dirs)
+                        return spectral.forward(
+                            p["main"], s_cfg, pos, dirs, sem_hidden=reassoc
+                        )
 
                     def prop_fn(pos):
                         return spectral.query_density_field(
@@ -300,6 +306,10 @@ class ActiveNeRFMapper:
                             near_plane=cfg.near_plane,
                             render_bkgd=bkgd, stratified=False,
                             with_variance=with_variance,
+                            sem_final=(
+                                spectral.semantic_final(p["main"])
+                                if reassoc else None
+                            ),
                         )
                         return outs
 

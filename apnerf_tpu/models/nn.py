@@ -76,3 +76,33 @@ def apply_mlp(
         elif output_activation is not None:
             x = output_activation(x)
     return x
+
+
+def apply_mlp_hidden(
+    params: dict,
+    x: jnp.ndarray,
+    activation=jax.nn.relu,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """All layers EXCEPT the final linear one — returns the last hidden
+    activation (in ``compute_dtype`` when given). Because the final layer
+    is linear, it commutes with any weighted sum over samples:
+    Σ_s w_s·(h_s·W + b) = (Σ_s w_s·h_s)·W + b·Σ_s w_s — the volume
+    renderer exploits this to accumulate the narrow bf16 hidden instead
+    of materializing per-sample logits (see volrend.render_outputs
+    ``sem_final``)."""
+    n_layers = len(params) // 2
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    for i in range(n_layers - 1):
+        w, b = params[f"w{i}"], params[f"b{i}"]
+        if compute_dtype is not None:
+            w, b = w.astype(compute_dtype), b.astype(compute_dtype)
+        x = activation(jnp.dot(x, w, preferred_element_type=x.dtype) + b)
+    return x
+
+
+def mlp_final_layer(params: dict):
+    """(W, b) of the final linear layer (pair with ``apply_mlp_hidden``)."""
+    i = len(params) // 2 - 1
+    return params[f"w{i}"], params[f"b{i}"]

@@ -294,17 +294,52 @@ def query_semantic(params: dict, cfg: SpectralConfig, geo_feat: jnp.ndarray):
     return logits.reshape(batch_shape + (cfg.num_semantic_classes,))
 
 
+def query_semantic_hidden(
+    params: dict, cfg: SpectralConfig, geo_feat: jnp.ndarray
+):
+    """Semantic head WITHOUT its final linear layer → last hidden [.., H]
+    in the compute dtype. The renderer accumulates this narrow bf16
+    tensor over samples and applies ``semantic_final`` afterwards —
+    mathematically identical (the final layer is linear) and the [N, C]
+    f32 per-sample logits never materialize (their relayout copies cost
+    ~2 ms/step in the r4 production trace, scripts/profile_trace.py)."""
+    from .nn import apply_mlp_hidden
+
+    batch_shape = geo_feat.shape[:-1]
+    h = apply_mlp_hidden(
+        params["mlp_sem"], geo_feat.reshape(-1, cfg.geo_feat_dim),
+        compute_dtype=cfg.dtype,
+    )
+    return h.reshape(batch_shape + (h.shape[-1],))
+
+
+def semantic_final(params: dict):
+    """(W, b) closing the ``query_semantic_hidden`` head."""
+    from .nn import mlp_final_layer
+
+    return mlp_final_layer(params["mlp_sem"])
+
+
 def forward(
     params: dict,
     cfg: SpectralConfig,
     positions: jnp.ndarray,
     directions: Optional[jnp.ndarray] = None,
+    sem_hidden: bool = False,
 ):
-    """→ (rgb, density[, sem_logits]); drop-in for ``ngp.forward``."""
+    """→ (rgb, density[, sem_logits]); drop-in for ``ngp.forward``.
+
+    ``sem_hidden=True``: the third output is the semantic head's last
+    HIDDEN activation instead of logits — pair with the renderer's
+    ``sem_final=semantic_final(params)`` (exact reassociation, see
+    ``query_semantic_hidden``)."""
     density, geo_feat = query_density(params, cfg, positions, return_feat=True)
     rgb = query_rgb(params, cfg, directions, geo_feat)
     if cfg.num_semantic_classes > 0:
-        sem = query_semantic(params, cfg, geo_feat)
+        if sem_hidden:
+            sem = query_semantic_hidden(params, cfg, geo_feat)
+        else:
+            sem = query_semantic(params, cfg, geo_feat)
         return rgb, density, sem
     return rgb, density
 

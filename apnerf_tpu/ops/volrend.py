@@ -156,13 +156,21 @@ def render_outputs(
     t_starts: jnp.ndarray,
     t_ends: jnp.ndarray,
     rgbs: jnp.ndarray,  # [R, S, 3]
-    sems: Optional[jnp.ndarray] = None,  # [R, S, C]
+    sems: Optional[jnp.ndarray] = None,  # [R, S, C] logits, or [R, S, H]
     render_bkgd: Optional[jnp.ndarray] = None,  # [3]
+    sem_final: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (W, b)
 ) -> Dict[str, jnp.ndarray]:
     """Accumulate colors/opacity/depth(/semantics) with the reference's
     conventions (``perception/models/utils.py:438-461``): depth is the
     opacity-normalized expected midpoint distance; background is composited
-    onto color only."""
+    onto color only.
+
+    ``sem_final=(W [H, C], b [C])``: ``sems`` is the semantic head's last
+    HIDDEN activation (bf16, ``models/nn.apply_mlp_hidden``); the final
+    linear layer is applied AFTER accumulation — exact reassociation
+    (Σ_s w·(h·W + b) = (Σ_s w·h)·W + b·Σ_s w), so the wide [R, S, C] f32
+    per-sample logits tensor never materializes (r4 trace: ~2 ms/step of
+    relayout copies at production size)."""
     colors = accumulate_along_rays(weights, rgbs)
     opacities = accumulate_along_rays(weights, None)
     t_mid = ((t_starts + t_ends) * 0.5)[..., None]
@@ -171,14 +179,27 @@ def render_outputs(
     depths = depths / jnp.clip(opacities, min=eps)
     out = {"rgb": colors, "opacity": opacities, "depth": depths}
     if sems is not None:
-        if (
+        if sem_final is not None:
+            W, b = sem_final
+            acc_h = jnp.einsum(
+                "rs,rsh->rh", weights.astype(sems.dtype), sems,
+                preferred_element_type=jnp.float32,
+            )
+            out["sem"] = (
+                jnp.dot(
+                    acc_h.astype(sems.dtype), W.astype(sems.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + b * opacities
+            )
+        elif (
             os.environ.get("APNERF_BF16_SEM", "0") == "1"
             and sems.dtype == jnp.float32
         ):
             # bf16 operands with f32 MXU accumulation: halves the HBM
             # traffic of the [R, S, C] logit tensors (C=29 pads 4.4x
-            # under lane tiling); logits round at ~0.4% — measure the
-            # bench PSNR canary before flipping this default
+            # under lane tiling); logits round at ~0.4%. Superseded by
+            # sem_final reassociation on the flagship path.
             out["sem"] = jnp.einsum(
                 "rs,rsc->rc",
                 weights.astype(jnp.bfloat16),

@@ -197,6 +197,9 @@ def make_sharded_candidate_renderer(
 
     @jax.jit
     def _render(params, origins, viewdirs, bkgd, key):
+        import os as _os
+
+        reassoc = _os.environ.get("APNERF_SEM_REASSOC", "1") == "1"
         V, Pr, _ = origins.shape
         ro = jax.lax.with_sharding_constraint(
             origins.reshape(V * Pr, 3), ray_sh
@@ -207,13 +210,18 @@ def make_sharded_candidate_renderer(
 
         def member(p):
             outs, _ = render_rays_prop(
-                lambda pos, dirs: spectral.forward(p["main"], s_cfg, pos, dirs),
+                lambda pos, dirs: spectral.forward(
+                    p["main"], s_cfg, pos, dirs, sem_hidden=reassoc
+                ),
                 lambda pos: spectral.query_density_field(p["prop"], p_cfg, pos),
                 ro, rd, aabb, key,
                 num_samples=max_samples,
                 num_prop_samples=cfg.num_prop_samples,
                 near_plane=cfg.near_plane, render_bkgd=bkgd,
                 stratified=False, with_variance=with_variance,
+                sem_final=(
+                    spectral.semantic_final(p["main"]) if reassoc else None
+                ),
             )
             return outs
 

@@ -61,12 +61,18 @@ def render_rays_prop(
     stratified: bool = True,
     sampling_type: str = "uniform",
     with_variance: bool = False,
+    sem_final: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """One proposal round + main field render.
 
     Returns (outs dict like ``renderer.render_rays``, prop_loss_value).
     Rays that miss the aabb get a degenerate near≈far interval → zero
     weights → pure background (same contract as the occ path).
+
+    ``sem_final=(W, b)``: ``field_fn`` returns the semantic head's last
+    hidden activation instead of logits (``spectral.forward(...,
+    sem_hidden=True)``); the final linear layer applies after
+    accumulation (volrend.render_outputs reassociation).
     """
     R = rays_o.shape[0]
     t_min, t_max = ray_aabb_intersect(
@@ -114,7 +120,8 @@ def render_rays_prop(
 
     weights = _render_weights(t0, t1, sigmas)
     outs = volrend.render_outputs(
-        weights, t0, t1, rgbs, sems=sems, render_bkgd=render_bkgd
+        weights, t0, t1, rgbs, sems=sems, render_bkgd=render_bkgd,
+        sem_final=sem_final,
     )
     # NOTE: counts every sample on every aabb-hitting ray (the prop path
     # evaluates the field densely at all of them); the occ path's renderer

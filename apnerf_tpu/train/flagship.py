@@ -18,6 +18,7 @@ mipnerf360 proposal-matching term (reference capability:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -125,8 +126,16 @@ def make_flagship_member_core(
         _, k_samp = jax.random.split(k_occ)
 
         def loss_fn(p):
+            # semantic-head reassociation (models/spectral.py
+            # query_semantic_hidden): accumulate the narrow bf16 hidden,
+            # apply the final linear after — exact math, no [N, C] f32
+            # logits in HBM. APNERF_SEM_REASSOC=0 restores the plain path.
+            reassoc = os.environ.get("APNERF_SEM_REASSOC", "1") == "1"
+
             def field_fn(pos, dirs):
-                return spectral.forward(p["main"], s_cfg, pos, dirs)
+                return spectral.forward(
+                    p["main"], s_cfg, pos, dirs, sem_hidden=reassoc
+                )
 
             def prop_density_fn(pos):
                 return spectral.query_density_field(p["prop"], p_cfg, pos)
@@ -139,6 +148,9 @@ def make_flagship_member_core(
                 near_plane=cfg.near_plane,
                 render_bkgd=batch.color_bkgd,
                 stratified=True,
+                sem_final=(
+                    spectral.semantic_final(p["main"]) if reassoc else None
+                ),
             )
             l_rgb = jnp.mean(optax.huber_loss(out["rgb"], batch.pixels))
             l_dep = jnp.mean(optax.huber_loss(out["depth"][:, 0], batch.depth))

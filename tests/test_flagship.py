@@ -220,3 +220,56 @@ def test_flagship_phase_learns_and_updates_occ():
     state = occ_fn(state, jax.random.PRNGKey(2), jnp.asarray(1e-3))
     # occupancy EMA ran (planner consumes these binaries)
     assert np.asarray(state.occ.occs).max() > 0
+
+
+def test_sem_reassociation_parity():
+    """sem_hidden + sem_final (accumulate bf16 hidden, final linear after)
+    must equal plain per-sample logits accumulation — the final layer is
+    linear so the reassociation is exact up to bf16 rounding
+    (models/spectral.query_semantic_hidden, volrend.render_outputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from apnerf_tpu.models import spectral
+    from apnerf_tpu.render.prop_renderer import render_rays_prop
+
+    aabb_t = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+    s_cfg = spectral.SpectralConfig(
+        aabb=aabb_t, neurons=32, layers=2, n_levels=4, freqs_per_level=2,
+        base_freq=4.0, max_freq=32.0, num_semantic_classes=9, fused="off",
+    )
+    p_cfg = spectral.SpectralDensityConfig(
+        aabb=aabb_t, neurons=16, layers=1, max_freq=16.0
+    )
+    params = {
+        "main": spectral.init_spectral(jax.random.PRNGKey(0), s_cfg),
+        "prop": spectral.init_spectral_density(jax.random.PRNGKey(1), p_cfg),
+    }
+    R = 64
+    ro = jax.random.uniform(jax.random.PRNGKey(2), (R, 3), minval=-0.5, maxval=0.5)
+    rd = jax.random.normal(jax.random.PRNGKey(3), (R, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    aabb = jnp.asarray(aabb_t, jnp.float32)
+    kw = dict(num_samples=16, num_prop_samples=8, near_plane=0.1,
+              render_bkgd=jnp.ones(3), stratified=False)
+    out0, _ = render_rays_prop(
+        lambda p, d: spectral.forward(params["main"], s_cfg, p, d),
+        lambda p: spectral.query_density_field(params["prop"], p_cfg, p),
+        ro, rd, aabb, jax.random.PRNGKey(7), **kw,
+    )
+    out1, _ = render_rays_prop(
+        lambda p, d: spectral.forward(
+            params["main"], s_cfg, p, d, sem_hidden=True
+        ),
+        lambda p: spectral.query_density_field(params["prop"], p_cfg, p),
+        ro, rd, aabb, jax.random.PRNGKey(7),
+        sem_final=spectral.semantic_final(params["main"]), **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out0["sem"]), np.asarray(out1["sem"]),
+        rtol=2e-2, atol=2e-2,
+    )
+    # rgb/depth/opacity untouched by the sem path
+    np.testing.assert_allclose(
+        np.asarray(out0["rgb"]), np.asarray(out1["rgb"]), rtol=1e-6
+    )
