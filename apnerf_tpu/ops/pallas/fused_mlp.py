@@ -26,13 +26,15 @@ docs/PERFORMANCE.md.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_N = 1024
+# rows per grid tile; overridable for tile-size sweeps (bench ablations)
+_TILE_N = int(os.environ.get("APNERF_FUSED_TILE", "1024"))
 
 
 def _dot(a, b):
