@@ -284,7 +284,7 @@ class ActiveNeRFMapper:
 
             @jax.jit
             def render_jit(params, occ, origins, viewdirs, bkgd, key):
-                reassoc = _os.environ.get("APNERF_SEM_REASSOC", "1") == "1"
+                reassoc = _os.environ.get("APNERF_SEM_REASSOC", "0") == "1"
 
                 def member(p, o):
                     def field_fn(pos, dirs):

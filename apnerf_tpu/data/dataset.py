@@ -70,6 +70,12 @@ def fetch_rays(
         local = num_rays // n_shards
         x = jax.lax.dynamic_slice_in_dim(x, shard_idx * local, local)
         y = jax.lax.dynamic_slice_in_dim(y, shard_idx * local, local)
+    # Two-step indexing ON PURPOSE: dynamic_index_in_dim copies the one
+    # H*W image (~0.23 ms/step at 640²), then [y, x] gathers pixels. The
+    # "obvious" fused 3-D gather images[img_idx, y, x] measured ~1 ms/step
+    # SLOWER on the v5e (r4 bench A/B: 0.82x vs 1.55x overall) — XLA
+    # scalarizes gathers whose index arithmetic fuses in
+    # (docs/PERFORMANCE.md "fusion scalarization").
     img = jax.lax.dynamic_index_in_dim(images, image_idx, keepdims=False)
     dep = jax.lax.dynamic_index_in_dim(depths, image_idx, keepdims=False)
     sem = jax.lax.dynamic_index_in_dim(semantics, image_idx, keepdims=False)

@@ -332,35 +332,22 @@ def forward(
     ``sem_hidden=True``: the third output is the semantic head's last
     HIDDEN activation instead of logits — pair with the renderer's
     ``sem_final=semantic_final(params)`` (exact reassociation, see
-    ``query_semantic_hidden``).
+    ``query_semantic_hidden``). Measured on the v5e (r4 bench A/B): the
+    reassociation LOSES ~3.6% end-to-end (1.492x vs 1.548x), so it ships
+    default-OFF (APNERF_SEM_REASSOC=1 opts in).
 
-    Internally everything runs on FLAT [N, .] tensors and only the final
-    outputs reshape to the batch shape: the earlier query_density →
-    query_rgb composition round-tripped the [N, 16] trunk output through
-    a [R, S, 16] layout and back, costing ~1.5 ms/step of relayout
-    copies at production size (r4 trace, scripts/profile_trace.py)."""
-    batch_shape = positions.shape[:-1]
-    flat = lambda a, d: a.reshape(-1, d)
-    density, geo_feat = query_density(
-        params, cfg, flat(positions, 3), return_feat=True
-    )
-    rgb = query_rgb(
-        params, cfg,
-        flat(directions, 3) if directions is not None else None,
-        geo_feat,
-    )
-    outs_sem = None
+    Deliberately keeps the [R, S, .] batch shape through the heads: a
+    flatten-first rewrite of this function measured 0.81x vs 1.55x —
+    XLA's layout assignment around the fused kernel is dramatically
+    better with the nested shapes (r4 bench A/B)."""
+    density, geo_feat = query_density(params, cfg, positions, return_feat=True)
+    rgb = query_rgb(params, cfg, directions, geo_feat)
     if cfg.num_semantic_classes > 0:
         if sem_hidden:
-            outs_sem = query_semantic_hidden(params, cfg, geo_feat)
+            sem = query_semantic_hidden(params, cfg, geo_feat)
         else:
-            outs_sem = query_semantic(params, cfg, geo_feat)
-    rgb = rgb.reshape(batch_shape + (3,))
-    density = density.reshape(batch_shape + (1,))
-    if outs_sem is not None:
-        return rgb, density, outs_sem.reshape(
-            batch_shape + (outs_sem.shape[-1],)
-        )
+            sem = query_semantic(params, cfg, geo_feat)
+        return rgb, density, sem
     return rgb, density
 
 

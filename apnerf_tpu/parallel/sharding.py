@@ -199,7 +199,7 @@ def make_sharded_candidate_renderer(
     def _render(params, origins, viewdirs, bkgd, key):
         import os as _os
 
-        reassoc = _os.environ.get("APNERF_SEM_REASSOC", "1") == "1"
+        reassoc = _os.environ.get("APNERF_SEM_REASSOC", "0") == "1"
         V, Pr, _ = origins.shape
         ro = jax.lax.with_sharding_constraint(
             origins.reshape(V * Pr, 3), ray_sh

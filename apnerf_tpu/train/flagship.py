@@ -130,7 +130,7 @@ def make_flagship_member_core(
             # query_semantic_hidden): accumulate the narrow bf16 hidden,
             # apply the final linear after — exact math, no [N, C] f32
             # logits in HBM. APNERF_SEM_REASSOC=0 restores the plain path.
-            reassoc = os.environ.get("APNERF_SEM_REASSOC", "1") == "1"
+            reassoc = os.environ.get("APNERF_SEM_REASSOC", "0") == "1"
 
             def field_fn(pos, dirs):
                 return spectral.forward(
