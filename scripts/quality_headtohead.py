@@ -70,12 +70,32 @@ def run_path(field_type, sampler_type, steps, img, seed=9, scene="fake",
         **shrink,
     )
     save = tempfile.mkdtemp(prefix=f"h2h_{field_type}_")
-    mapper = ActiveNeRFMapper(cfg, sim, save_path=save, seed=seed)
+    mapper = ActiveNeRFMapper(
+        cfg, sim, save_path=save, seed=seed,
+        # no mid-train checkpoints: each save fetches the full ensemble
+        # state through the tunnel (hash path: ~0.8 GB) for nothing the
+        # head-to-head needs
+        checkpoint_every=10**9,
+    )
     mapper.save_viz = False
     mapper.initialization()
     t0 = time.perf_counter()
-    mapper.nerf_training(steps, initial_train=True, evaluate=True)
+    # train in 100-step slices: each nerf_training call converts its
+    # losses (device sync), so a TPU worker crash mid-run surfaces as an
+    # exception within ~100 steps instead of a silent infinite hang (the
+    # hash path crashes this v5e probabilistically per chunk —
+    # docs/PERFORMANCE.md "occ-path TPU fault")
+    done = 0
+    while done < steps:
+        sl = min(100, steps - done)
+        losses = mapper.nerf_training(sl, initial_train=True, evaluate=False)
+        done += sl
+        print(
+            f"   {done}/{steps} loss={losses[-1]:.3f} "
+            f"({time.perf_counter() - t0:.0f}s)", flush=True,
+        )
     dt = time.perf_counter() - t0
+    mapper._evaluate(-1)
     _, p, dmse, ce = mapper.errors_hist[-1]
     _, lp, mi = mapper.metrics_ext_hist[-1]
     sps = steps * cfg.n_ensembles * cfg.num_rays * cfg.max_samples_train / dt
@@ -124,13 +144,30 @@ def main():
 
     rows = []
     for pair in args.paths.split(","):
+        # optional per-path step budget: "ngp+occ:500" (the hash path
+        # crashes this v5e probabilistically per scan chunk, so its
+        # surviving budget is shorter — docs/PERFORMANCE.md)
+        steps = args.steps
+        if ":" in pair:
+            pair, s_override = pair.split(":")
+            steps = int(s_override)
         f, s = pair.split("+")
         print(
-            f"== {pair} ({args.steps} steps, scene={args.scene}) ==",
+            f"== {pair} ({steps} steps, scene={args.scene}) ==",
             flush=True,
         )
-        r = run_path(f, s, args.steps, args.img, scene=args.scene,
-                     tiny=args.preset == "cpu-tiny")
+        try:
+            r = run_path(f, s, steps, args.img, scene=args.scene,
+                         tiny=args.preset == "cpu-tiny")
+        except Exception as e:  # surface worker crashes as a table row
+            print(f"   CRASHED: {type(e).__name__}: {e}", flush=True)
+            r = dict(path=f"{f}+{s}@{steps}", psnr=float("nan"),
+                     depth_mse=float("nan"), sem_ce=float("nan"),
+                     lpips=float("nan"), miou=float("nan"),
+                     train_s=float("nan"), samples_per_s=float("nan"))
+            rows.append(r)
+            continue
+        r["path"] = f"{r['path']}@{steps}"
         rows.append(r)
         print(
             f"{r['path']:16s} PSNR={r['psnr']:6.2f} depthMSE={r['depth_mse']:7.4f} "
