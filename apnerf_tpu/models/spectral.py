@@ -211,7 +211,7 @@ def _trunk_apply(params_mlp: dict, enc: jnp.ndarray, cfg: SpectralConfig):
     FullyFusedMLP equivalent, activations never round-trip through HBM."""
     if (
         os.environ.get("APNERF_FUSED_MLP", "0") == "1"
-        and len(params_mlp) == 8
+        and len(params_mlp) in (6, 8)
         and cfg.compute_dtype == "bfloat16"
     ):
         from ..ops.pallas.fused_mlp import fused_mlp_apply
@@ -223,11 +223,13 @@ def _trunk_apply(params_mlp: dict, enc: jnp.ndarray, cfg: SpectralConfig):
 def _use_fused_field(cfg: SpectralConfig, params_mlp: dict) -> bool:
     """Route encode+trunk through the single Pallas kernel
     (``ops/pallas/fused_mlp.fused_spectral_field``)? Requires the bf16
-    compute dtype and the fixed 3-hidden-layer trunk topology. Default
-    ("auto"): on for the TPU backend (measured 1.536x vs 1.285x for the
-    XLA chain, docs/PERFORMANCE.md), off elsewhere (the interpret-mode
-    kernel would crawl on CPU). Mesh-mode forces "off" (Pallas has no
-    GSPMD partitioning rule; see active/mapper.py)."""
+    compute dtype and a 2- or 3-hidden-layer trunk (the kernel factory is
+    depth-generic, ``_make_enc_fwd_kernel``). Default ("auto"): on for
+    the TPU backend (measured 1.536x vs 1.285x for the XLA chain,
+    docs/PERFORMANCE.md), off elsewhere (the interpret-mode kernel would
+    crawl on CPU). GSPMD-sharded programs pass ``fused="off"`` (no
+    pallas_call partitioning rule); the shard_map train phase keeps it
+    on (parallel/sharding.py)."""
     env = os.environ.get("APNERF_FUSED_FIELD")
     if env == "0" or cfg.fused == "off":
         enabled = False
@@ -238,7 +240,7 @@ def _use_fused_field(cfg: SpectralConfig, params_mlp: dict) -> bool:
     return (
         enabled
         and cfg.compute_dtype == "bfloat16"
-        and len(params_mlp) == 8
+        and len(params_mlp) in (6, 8)
     )
 
 

@@ -33,7 +33,7 @@ AABB = (-8.0, 0.0, -8.0, 0.0, 3.0, 0.0)
 
 
 def run_path(field_type, sampler_type, steps, img, seed=9, scene="fake",
-             tiny=False):
+             tiny=False, overrides=None):
     import jax
 
     from apnerf_tpu.active.mapper import ActiveNeRFMapper
@@ -68,6 +68,7 @@ def run_path(field_type, sampler_type, steps, img, seed=9, scene="fake",
         test_loc=tuple(tuple(l) for l in test_loc),
         test_quat=tuple(tuple(q) for q in test_quat),
         **shrink,
+        **(overrides or {}),
     )
     save = tempfile.mkdtemp(prefix=f"h2h_{field_type}_")
     mapper = ActiveNeRFMapper(

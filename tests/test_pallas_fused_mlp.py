@@ -129,3 +129,52 @@ def test_fused_spectral_field_matches_oracle():
         )
     )(u)
     assert np.isfinite(np.asarray(du)).all()
+
+
+def test_fused_spectral_field_two_hidden_layers():
+    """The depth-generic kernel factories (r4): a 2-hidden-layer trunk
+    (6-param mlp dict) runs through the same fused field with oracle
+    parity — the capacity-matched-to-reference speed configuration."""
+    import numpy as np
+    from apnerf_tpu.models import spectral
+    from apnerf_tpu.ops.pallas.fused_mlp import fused_spectral_field
+
+    cfg = spectral.SpectralConfig(
+        aabb=(-1, -1, -1, 1, 1, 1), n_levels=4, freqs_per_level=2,
+        base_freq=4.0, max_freq=32.0, neurons=32, layers=2,
+        geo_feat_dim=7, compute_dtype="bfloat16",
+    )
+    params = spectral.init_spectral(jax.random.PRNGKey(0), cfg)
+    assert len(params["mlp_base"]) == 6
+    u = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+
+    y1 = fused_spectral_field(
+        params["W"], params["phase"], params["mlp_base"], u
+    )
+    enc = spectral._spectral_encode_core(
+        params["W"], params["phase"], u, "bfloat16"
+    )
+    y2 = apply_mlp(params["mlp_base"], enc, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y2), rtol=2e-2, atol=2e-2
+    )
+
+    def loss_f(mlp):
+        return jnp.sum(
+            jnp.tanh(
+                fused_spectral_field(params["W"], params["phase"], mlp, u)
+            )
+        )
+
+    def loss_o(mlp):
+        e = spectral._spectral_encode_core(
+            params["W"], params["phase"], u, "bfloat16"
+        )
+        return jnp.sum(jnp.tanh(apply_mlp(mlp, e, compute_dtype=jnp.bfloat16)))
+
+    g1 = jax.grad(loss_f)(params["mlp_base"])
+    g2 = jax.grad(loss_o)(params["mlp_base"])
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-2)
