@@ -192,21 +192,9 @@ def render_outputs(
                 )
                 + b * opacities
             )
-        elif (
-            os.environ.get("APNERF_BF16_SEM", "0") == "1"
-            and sems.dtype == jnp.float32
-        ):
-            # bf16 operands with f32 MXU accumulation: halves the HBM
-            # traffic of the [R, S, C] logit tensors (C=29 pads 4.4x
-            # under lane tiling); logits round at ~0.4%. Superseded by
-            # sem_final reassociation on the flagship path.
-            out["sem"] = jnp.einsum(
-                "rs,rsc->rc",
-                weights.astype(jnp.bfloat16),
-                sems.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
         else:
+            # (an APNERF_BF16_SEM bf16-accumulation variant was measured
+            # on the v5e 2026-08-17: 1.546x vs 1.548x — no gain, deleted)
             out["sem"] = accumulate_along_rays(weights, sems)
     if render_bkgd is not None:
         out["rgb"] = out["rgb"] + render_bkgd * (1.0 - opacities)

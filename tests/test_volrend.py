@@ -141,30 +141,3 @@ def test_render_variance_exact():
     var = volrend.render_variance(weights, values, mean)
     # 0.5*(0-0.5)^2 + 0.5*(1-0.5)^2 = 0.25
     np.testing.assert_allclose(np.array(var), 0.25, rtol=1e-6)
-
-
-def test_bf16_sem_accumulation_parity(monkeypatch):
-    """APNERF_BF16_SEM=1 accumulates semantic logits in bf16 with f32 MXU
-    accumulation (ops/volrend.py render_outputs) — must agree with the
-    f32 path to bf16 rounding (~0.4% relative)."""
-    import jax
-
-    key = jax.random.PRNGKey(0)
-    R, S, C = 8, 16, 29
-    weights = jax.random.uniform(key, (R, S)) * 0.1
-    t = jnp.linspace(0.1, 2.0, S + 1)
-    t_starts = jnp.broadcast_to(t[:-1], (R, S))
-    t_ends = jnp.broadcast_to(t[1:], (R, S))
-    rgbs = jax.random.uniform(jax.random.PRNGKey(1), (R, S, 3))
-    sems = jax.random.normal(jax.random.PRNGKey(2), (R, S, C)) * 4.0
-
-    monkeypatch.delenv("APNERF_BF16_SEM", raising=False)
-    out_f32 = volrend.render_outputs(weights, t_starts, t_ends, rgbs, sems)
-    monkeypatch.setenv("APNERF_BF16_SEM", "1")
-    out_bf16 = volrend.render_outputs(weights, t_starts, t_ends, rgbs, sems)
-
-    np.testing.assert_allclose(
-        np.asarray(out_f32["sem"]), np.asarray(out_bf16["sem"]),
-        rtol=2e-2, atol=5e-2,
-    )
-    assert out_bf16["sem"].dtype == jnp.float32
