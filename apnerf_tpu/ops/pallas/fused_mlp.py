@@ -79,10 +79,20 @@ def _make_enc_fwd_kernel(n_layers: int):
     # The spectral features concat(cos p, sin p) @ w0 are computed as
     # cos(p) @ w0[:M] + sin(p) @ w0[M:] — identical math, no in-kernel
     # concatenate (concat hung this target's Mosaic compile).
-    def kernel(p_ref, *refs):
+    #
+    # r4: the phase angles proj = 2π·u·W + φ are computed IN the kernel
+    # from uT [3, t] (the K=3 dot costs ~2% of the tile's FLOPs) instead
+    # of arriving as a [N, M] f32 HBM operand — the proj round-trip was
+    # ~540 MB/step of pure bandwidth in the production trace. u travels
+    # TRANSPOSED ([3, N], big axis minor): an [N, 3] operand lane-pads
+    # 42x under the (8, 128) tiling (a 3.4 GB copy at render sizes).
+    def kernel(ut_ref, wspec_ref, phase_ref, *refs):
         ws, y_ref = refs[:-1], refs[-1]
         bf = jnp.bfloat16
-        proj = p_ref[:]
+        proj = (
+            _dot_tn(ut_ref[:].astype(bf), wspec_ref[:].astype(bf)) * _TWO_PI
+            + phase_ref[:]
+        )
         M = proj.shape[-1]
         c = jnp.cos(proj).astype(bf)
         s = jnp.sin(proj).astype(bf)
@@ -101,21 +111,27 @@ def _make_enc_fwd_kernel(n_layers: int):
 
 def _make_enc_bwd_kernel(n_layers: int):
     # same revisiting-accumulator + f32-preactivation-mask design as
-    # _make_bwd_kernel, plus the spectral feature chain: recompute cos/sin
-    # from the saved phase angles, run the trunk backward to g_enc, and
-    # emit dproj = cos*g_sin - sin*g_cos without any HBM intermediate. The
+    # _make_bwd_kernel, plus the spectral feature chain: recompute proj
+    # and cos/sin from u [t,3] (r4 — the [N, M] f32 proj operand and the
+    # [N, M] bf16 dproj output were ~940 MB/step of HBM traffic), run the
+    # trunk backward to g_enc, and reduce dproj to dW_spec/dphase with
+    # in-kernel revisiting accumulators; du streams out per tile. The
     # concat-free split-w0 form of the forward means dw0's two halves and
     # g_cos/g_sin are separate dots too.
     L = n_layers
 
-    def kernel(p_ref, *refs):
+    def kernel(ut_ref, wspec_ref, phase_ref, *refs):
         ws = refs[: 2 * L]
         g_ref = refs[2 * L]
-        dp_ref = refs[2 * L + 1]
-        grads = refs[2 * L + 2:]
+        dut_ref = refs[2 * L + 1]
+        dwspec_ref = refs[2 * L + 2]
+        dphase_ref = refs[2 * L + 3]
+        grads = refs[2 * L + 4:]
         bf = jnp.bfloat16
         first = pl.program_id(0) == 0
-        proj = p_ref[:]  # [Nt, M] f32
+        utb = ut_ref[:].astype(bf)  # [3, Nt]
+        wsb = wspec_ref[:].astype(bf)  # [3, M]
+        proj = _dot_tn(utb, wsb) * _TWO_PI + phase_ref[:]  # [Nt, M] f32
         M = proj.shape[-1]
         c = jnp.cos(proj)
         s = jnp.sin(proj)
@@ -165,7 +181,16 @@ def _make_enc_bwd_kernel(n_layers: int):
         acc(grads[1], jnp.sum(gh, axis=0, keepdims=True).astype(jnp.float32))
         g_cos = _dot_nt(gh, w0b[:M])  # [Nt, M] f32
         g_sin = _dot_nt(gh, w0b[M:])
-        dp_ref[:] = (c * g_sin - s * g_cos).astype(dp_ref.dtype)
+        dproj = c * g_sin - s * g_cos  # f32, VMEM-only
+        dpb = dproj.astype(bf)  # bf16 MXU operands (same precision as the
+        # previous design's bf16 dproj HBM output)
+        acc(dwspec_ref, _dot(utb, dpb) * _TWO_PI)  # [3, Nt]@[Nt, M]
+        acc(
+            dphase_ref,
+            jnp.sum(dproj, axis=0, keepdims=True).astype(jnp.float32),
+        )
+        # duT [3, Nt] = W [3, M] contract dpb [Nt, M] on M
+        dut_ref[:] = (_dot_nt(wsb, dpb) * _TWO_PI).astype(dut_ref.dtype)
 
     return kernel
 
@@ -302,62 +327,56 @@ def _norm_weights(params):
     return tuple(out)
 
 
-def _call_enc_fwd(proj, weights):
-    N, M = proj.shape
+def _call_enc_fwd(ut, wspec, phase2d, weights):
+    N = ut.shape[1]
     Dout = weights[-2].shape[1]
     t = _tile(N)
-    pspec = pl.BlockSpec((t, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    utspec = pl.BlockSpec((3, t), lambda i: (0, i), memory_space=pltpu.VMEM)
     yspec = pl.BlockSpec((t, Dout), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_enc_fwd_kernel(len(weights) // 2),
         grid=(N // t,),
-        in_specs=[pspec] + _w_specs([w.shape for w in weights]),
+        in_specs=[utspec]
+        + _w_specs([wspec.shape, phase2d.shape])
+        + _w_specs([w.shape for w in weights]),
         out_specs=yspec,
         out_shape=jax.ShapeDtypeStruct((N, Dout), jnp.float32),
         interpret=_use_interpret(),
-    )(proj, *weights)
+    )(ut, wspec, phase2d, *weights)
 
 
-def _call_enc_bwd(proj, weights, g):
-    N, M = proj.shape
+def _call_enc_bwd(ut, wspec, phase2d, weights, g):
+    N = ut.shape[1]
+    M = wspec.shape[1]
     Dout = weights[-2].shape[1]
     t = _tile(N)
-    pspec = pl.BlockSpec((t, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    utspec = pl.BlockSpec((3, t), lambda i: (0, i), memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec((t, Dout), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_shapes = [w.shape for w in weights]
+    acc_shapes = [(3, M), (1, M)] + w_shapes  # dW_spec, dphase, MLP grads
     acc_specs = tuple(
         pl.BlockSpec(s, functools.partial(lambda nd, i: (0,) * nd, len(s)),
                      memory_space=pltpu.VMEM)
-        for s in w_shapes
+        for s in acc_shapes
     )
     outs = pl.pallas_call(
         _make_enc_bwd_kernel(len(weights) // 2),
         grid=(N // t,),
-        in_specs=[pspec] + _w_specs(w_shapes) + [gspec],
-        out_specs=(pspec,) + acc_specs,
-        # dproj in bf16: halves the read of every downstream reduction
-        # (dW_spectrum, dphase) — gradient values, bf16 is plenty
-        out_shape=(jax.ShapeDtypeStruct((N, M), jnp.bfloat16),)
-        + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes),
+        in_specs=[utspec]
+        + _w_specs([wspec.shape, phase2d.shape])
+        + _w_specs(w_shapes)
+        + [gspec],
+        out_specs=(utspec,) + acc_specs,
+        # duT [3, N]; dW_spec/dphase reduced IN KERNEL (revisiting
+        # accumulators) — the [N, M] dproj intermediate never exists
+        out_shape=(jax.ShapeDtypeStruct((3, N), ut.dtype),)
+        + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in acc_shapes),
         interpret=_use_interpret(),
-    )(proj, *weights, g)
+    )(ut, wspec, phase2d, *weights, g)
     return outs
 
 
 _TWO_PI = 6.283185307179586
-
-
-def _proj_math(W_spec, phase, u):
-    """f32 phase angles via one [N,3]x[3,M] matmul (XLA lays this out
-    well; the tiny K=3 dot does NOT belong in the kernel)."""
-    return (
-        jnp.dot(
-            u.astype(jnp.bfloat16), W_spec.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        * _TWO_PI
-        + phase
-    )
 
 
 @jax.custom_vjp
@@ -370,12 +389,17 @@ def fused_spectral_field(
     """The whole spectral field in one kernel: y = MLP(cos/sin(2π·u·W+φ))
     — the tcnn ``NetworkWithInputEncoding`` counterpart
     (``/root/reference/perception/models/radiance_fields/ngp.py:123-141``
-    instantiates exactly this fusion for the hash encoding): spectral
-    features and trunk activations never touch HBM. The backward emits
-    dproj in bf16 INSIDE the VJP so the spectrum/phase reductions read
-    half the bytes, then reduces to dW_spec/dphase/du with XLA dots.
+    instantiates exactly this fusion for the hash encoding): phase angles,
+    spectral features, and trunk activations never touch HBM (r4 — the
+    kernel consumes u directly, moved as [3, N] so the big axis stays in
+    lanes; previously the [N, M] f32 proj was an XLA-side operand,
+    ~540 MB/step of bandwidth). The backward reduces dW_spec/dphase with
+    in-kernel revisiting accumulators, so no [N, M] dproj intermediate
+    exists either.
     """
-    return _call_enc_fwd(_proj_math(W_spec, phase, u), _norm_weights(params))
+    return _call_enc_fwd(
+        u.T, W_spec, phase.reshape(1, -1), _norm_weights(params)
+    )
 
 
 def _fsf_fwd(W_spec, phase, params, u):
@@ -386,32 +410,19 @@ def _fsf_fwd(W_spec, phase, params, u):
 
 def _fsf_bwd(res, g):
     W_spec, phase, params, u = res
-    proj = _proj_math(W_spec, phase, u)  # CSEs with the forward's — fine
-    outs = _call_enc_bwd(proj, _norm_weights(params), g.astype(jnp.float32))
-    dproj = outs[0]  # bf16 [N, M]
+    outs = _call_enc_bwd(
+        u.T, W_spec, phase.reshape(1, -1), _norm_weights(params),
+        g.astype(jnp.float32),
+    )
+    du = outs[0].T.astype(u.dtype)  # DCE'd when positions carry no grad
+    dW = outs[1].astype(W_spec.dtype)
+    dphase = outs[2].reshape(-1).astype(phase.dtype)
     grads = {}
     for i in range(len(params) // 2):
-        grads[f"w{i}"] = outs[1 + 2 * i].astype(params[f"w{i}"].dtype)
-        grads[f"b{i}"] = outs[2 + 2 * i].reshape(-1).astype(
+        grads[f"w{i}"] = outs[3 + 2 * i].astype(params[f"w{i}"].dtype)
+        grads[f"b{i}"] = outs[4 + 2 * i].reshape(-1).astype(
             params[f"b{i}"].dtype
         )
-    dW = (
-        jax.lax.dot_general(
-            u.astype(jnp.bfloat16), dproj, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * _TWO_PI
-    ).astype(W_spec.dtype)
-    dphase = jnp.sum(
-        dproj, axis=tuple(range(dproj.ndim - 1)), dtype=jnp.float32
-    ).astype(phase.dtype)
-    du = (
-        jax.lax.dot_general(
-            dproj, W_spec.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * _TWO_PI
-    ).astype(u.dtype)
     return dW, dphase, grads, du
 
 
