@@ -322,6 +322,60 @@ def semantic_final(params: dict):
     return mlp_final_layer(params["mlp_sem"])
 
 
+def use_packed_field(cfg: SpectralConfig, params: dict, n_rows: int) -> bool:
+    """Route the train hot path through the whole-field Pallas kernel
+    (``ops/pallas/fused_field_heads``: encode + trunk + density/rgb/sem
+    heads in ONE kernel, packed transposed [4+C, N] output)? Follows the
+    ``_use_fused_field`` gate plus: viewdirs + semantic classes present,
+    both heads the standard 2-hidden topology, and a tile-friendly row
+    count. ``APNERF_FUSED_HEADS=0/1`` forces it off/on (bench ablations).
+    """
+    env = os.environ.get("APNERF_FUSED_HEADS")
+    if env == "0":
+        return False
+    base = _use_fused_field(cfg, params["mlp_base"]) or env == "1"
+    return (
+        base
+        and cfg.use_viewdirs
+        and cfg.num_semantic_classes > 0
+        and not cfg.unbounded  # kernel hard-codes the in-cube selector
+        and cfg.compute_dtype == "bfloat16"
+        and len(params["mlp_base"]) in (6, 8)
+        and len(params["mlp_head"]) == 6
+        and len(params.get("mlp_sem", ())) == 6
+        and n_rows % 256 == 0
+    )
+
+
+def forward_packed(
+    params: dict,
+    cfg: SpectralConfig,
+    positions: jnp.ndarray,  # [R, S, 3]
+    rays_d: jnp.ndarray,  # [R, 3] per-RAY directions (broadcast over S)
+) -> jnp.ndarray:
+    """Whole field in one kernel → packed [4+C, R, S] f32: rows 0:3 rgb
+    (sigmoid), row 3 density (trunc_exp(x-1) × in-aabb selector), rows 4:
+    semantic logits. Same math as ``forward`` (oracle-tested); the
+    transposed channel-major layout keeps every downstream channel
+    extract a contiguous row slice (see the kernel module docstring).
+    SH dir features are computed per ray and broadcast — the per-sample
+    [N, 16] SH tensor never materializes untransposed."""
+    from ..ops.pallas.fused_field_heads import fused_field_heads
+
+    R, S = positions.shape[0], positions.shape[1]
+    u, _ = _normalize(cfg, positions)
+    ut = u.reshape(-1, 3).T  # [3, N]
+    sh = sh_encode_deg4(rays_d)  # [R, 16]
+    sht = jnp.broadcast_to(
+        sh.T[:, :, None], (16, R, S)
+    ).reshape(16, R * S)
+    y = fused_field_heads(
+        params["W"], params["phase"], params["mlp_base"],
+        params["mlp_head"], params["mlp_sem"], ut, sht,
+    )
+    return y.reshape(y.shape[0], R, S)
+
+
 def forward(
     params: dict,
     cfg: SpectralConfig,

@@ -62,6 +62,7 @@ def render_rays_prop(
     sampling_type: str = "uniform",
     with_variance: bool = False,
     sem_final: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    field_packed_fn: Optional[Callable] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """One proposal round + main field render.
 
@@ -73,6 +74,13 @@ def render_rays_prop(
     hidden activation instead of logits (``spectral.forward(...,
     sem_hidden=True)``); the final linear layer applies after
     accumulation (volrend.render_outputs reassociation).
+
+    ``field_packed_fn``: the whole-field-kernel fast path
+    (``spectral.forward_packed``) — ``(pos [R,S,3], rays_d [R,3]) →
+    packed [4+C, R, S]`` (rgb/sigma/sem channel-major). When given it
+    replaces ``field_fn`` and the per-channel accumulation collapses to
+    ONE einsum over the packed rows; outputs are identical (same math,
+    oracle-tested in tests/test_pallas_fused_field.py).
     """
     R = rays_o.shape[0]
     t_min, t_max = ray_aabb_intersect(
@@ -109,6 +117,38 @@ def render_rays_prop(
 
     t_mid = 0.5 * (t0 + t1)
     pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+
+    if field_packed_fn is not None:
+        yT = field_packed_fn(pos, rays_d)  # [4+C, R, S]
+        sigmas = yT[3] * (~miss[:, None])
+        weights = _render_weights(t0, t1, sigmas)
+        # all channels accumulate in one pass over the packed rows (the
+        # weighted sigma row comes along for free and is discarded)
+        acc = jnp.einsum("rs,crs->rc", weights, yT)
+        opacities = jnp.sum(weights, axis=-1, keepdims=True)
+        depths = jnp.einsum("rs,rs->r", weights, t_mid)[:, None]
+        depths = depths / jnp.clip(opacities, min=jnp.finfo(yT.dtype).eps)
+        rgb_acc = acc[:, 0:3]
+        if render_bkgd is not None:
+            rgb_acc = rgb_acc + render_bkgd * (1.0 - opacities)
+        outs = {
+            "rgb": rgb_acc,
+            "opacity": opacities,
+            "depth": depths,
+            "sem": acc[:, 4:],
+            "n_samples": jnp.sum(~miss) * num_samples,
+        }
+        if with_variance:
+            rgbs_rs = jnp.moveaxis(yT[0:3], 0, -1)  # [R, S, 3]
+            outs["rgb_var"] = volrend.render_variance(
+                weights, rgbs_rs, acc[:, 0:3]
+            )
+            outs["depth_var"] = volrend.render_variance(
+                weights, t_mid[..., None], outs["depth"]
+            )[..., 0:1]
+        p_loss = prop_loss(levels, t0, t1, weights, use_onehot=True)
+        return outs, p_loss
+
     dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
     out = field_fn(pos, dirs)
     if len(out) == 3:

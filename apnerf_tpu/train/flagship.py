@@ -126,16 +126,27 @@ def make_flagship_member_core(
         _, k_samp = jax.random.split(k_occ)
 
         def loss_fn(p):
+            # whole-field kernel fast path (encode+trunk+heads in ONE
+            # Pallas kernel, packed [4+C, N] output — deletes the
+            # field→heads XLA glue, docs/PERFORMANCE.md r4c):
+            n_rows = batch.origins.shape[0] * cfg.max_samples_train
+            packed = spectral.use_packed_field(s_cfg, p["main"], n_rows)
             # semantic-head reassociation (models/spectral.py
             # query_semantic_hidden): accumulate the narrow bf16 hidden,
             # apply the final linear after — exact math, no [N, C] f32
             # logits in HBM. APNERF_SEM_REASSOC=0 restores the plain path.
-            reassoc = os.environ.get("APNERF_SEM_REASSOC", "0") == "1"
+            reassoc = (
+                not packed
+                and os.environ.get("APNERF_SEM_REASSOC", "0") == "1"
+            )
 
             def field_fn(pos, dirs):
                 return spectral.forward(
                     p["main"], s_cfg, pos, dirs, sem_hidden=reassoc
                 )
+
+            def field_packed_fn(pos, rays_d):
+                return spectral.forward_packed(p["main"], s_cfg, pos, rays_d)
 
             def prop_density_fn(pos):
                 return spectral.query_density_field(p["prop"], p_cfg, pos)
@@ -151,6 +162,7 @@ def make_flagship_member_core(
                 sem_final=(
                     spectral.semantic_final(p["main"]) if reassoc else None
                 ),
+                field_packed_fn=field_packed_fn if packed else None,
             )
             l_rgb = jnp.mean(optax.huber_loss(out["rgb"], batch.pixels))
             l_dep = jnp.mean(optax.huber_loss(out["depth"][:, 0], batch.depth))
