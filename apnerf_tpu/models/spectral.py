@@ -420,6 +420,10 @@ class SpectralDensityConfig(NamedTuple):
     max_freq: float = 256.0
     unbounded: bool = False
     compute_dtype: str = "bfloat16"
+    # fused Pallas field routing, same semantics as SpectralConfig.fused:
+    # "auto" = on for the TPU backend, "on"/"off" force. GSPMD-sharded
+    # programs must pass "off" (pallas_call has no partitioning rule).
+    fused: str = "auto"
 
     @property
     def n_freqs(self) -> int:
@@ -467,15 +471,41 @@ def query_density_field(
         u = (x - aabb[:3]) / (aabb[3:] - aabb[:3])
         selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
     dt = cfg.dtype
-    proj = (
-        jnp.dot(
-            u.reshape(-1, 3).astype(dt), params["W"].astype(dt),
-            preferred_element_type=jnp.float32,
+    n_rows = int(np.prod(batch_shape)) if batch_shape else 1
+    # the proposal field CAN route through the fused Pallas kernel like
+    # query_density (same encode+trunk shape family) — but measured on the
+    # v5e it is an ablation knob, not the default: APNERF_FUSED_PROP=1
+    # opts in (small 64-wide trunks lose to XLA's fusion at this size).
+    # cfg.fused="off" (GSPMD programs) still forces the XLA chain.
+    env = os.environ.get("APNERF_FUSED_PROP", "0")
+    if env == "0" or cfg.fused == "off":
+        enabled = False
+    elif env == "1" or cfg.fused == "on":
+        enabled = True
+    else:
+        enabled = jax.default_backend() == "tpu"
+    if (
+        enabled
+        and cfg.compute_dtype == "bfloat16"
+        and len(params["mlp_base"]) in (6, 8)
+        and n_rows % 256 == 0
+    ):
+        from ..ops.pallas.fused_mlp import fused_spectral_field
+
+        h = fused_spectral_field(
+            params["W"], params["phase"], params["mlp_base"],
+            u.reshape(-1, 3),
         )
-        * (2 * np.pi)
-        + params["phase"]
-    )
-    enc = jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=-1)
-    h = apply_mlp(params["mlp_base"], enc, compute_dtype=dt)
+    else:
+        proj = (
+            jnp.dot(
+                u.reshape(-1, 3).astype(dt), params["W"].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            * (2 * np.pi)
+            + params["phase"]
+        )
+        enc = jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=-1)
+        h = apply_mlp(params["mlp_base"], enc, compute_dtype=dt)
     h = h.reshape(batch_shape + (1,))
     return trunc_exp(h - 1.0) * selector[..., None]

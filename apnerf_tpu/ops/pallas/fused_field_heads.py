@@ -142,22 +142,26 @@ def _make_field_bwd_kernel(n_trunk: int):
 
             ref[...] += val
 
-        # ---- recompute the forward, keeping f32 pre-acts for ReLU masks
+        # ---- recompute the forward. ReLU masks are rounded to bf16 0/1
+        # right after the f32 compare (bf16 compares don't lower on this
+        # Mosaic target) and the f32 pre-acts die immediately — that plus
+        # keeping only the bf16 cos/sin halves the backward's per-tile
+        # VMEM vs the keep-f32-preacts layout.
         ut = ut_ref[:]
         utb = ut.astype(bf)
         wsb = wspec_ref[:].astype(bf)  # [3, M]
         proj = _dot_tn(wsb, utb) * _TWO_PI + phase_ref[:]  # [M, t] f32
         M = proj.shape[0]
-        c = jnp.cos(proj)
-        s = jnp.sin(proj)
-        cb = c.astype(bf)
-        sb = s.astype(bf)
+        cb = jnp.cos(proj).astype(bf)
+        sb = jnp.sin(proj).astype(bf)
+        mk = lambda pre: (pre > 0).astype(bf)  # ReLU mask, bf16 0/1
         w0b = tw[0][:].astype(bf)
-        a = [_dot_tn(w0b[:M], cb) + _dot_tn(w0b[M:], sb) + tw[1][:]]
-        h = [jnp.maximum(a[0], 0).astype(bf)]
+        a0 = _dot_tn(w0b[:M], cb) + _dot_tn(w0b[M:], sb) + tw[1][:]
+        mask = [mk(a0)]
+        h = [jnp.maximum(a0, 0).astype(bf)]
         for i in range(1, LT - 1):
             ai = _dot_tn(tw[2 * i][:].astype(bf), h[-1]) + tw[2 * i + 1][:]
-            a.append(ai)
+            mask.append(mk(ai))
             h.append(jnp.maximum(ai, 0).astype(bf))
         wLb = tw[2 * (LT - 1)][:].astype(bf)  # [1+G, H] transposed
         out = _dot(wLb, h[-1]) + tw[2 * LT - 1][:]
@@ -171,14 +175,18 @@ def _make_field_bwd_kernel(n_trunk: int):
         shb = sht_ref[:].astype(bf)
         r0b = rw[0][:].astype(bf)
         a1 = _dot_tn(r0b[:16], shb) + _dot_tn(r0b[16:], geo) + rw[1][:]
+        mk1 = mk(a1)
         h1 = jnp.maximum(a1, 0).astype(bf)
         a2 = _dot_tn(rw[2][:].astype(bf), h1) + rw[3][:]
+        mk2 = mk(a2)
         h2 = jnp.maximum(a2, 0).astype(bf)
         rgb_pre = _dot_tn(rw[4][:].astype(bf), h2) + rw[5][:]
         rgb = 1.0 / (1.0 + jnp.exp(-rgb_pre))
         am1 = _dot_tn(sw[0][:].astype(bf), geo) + sw[1][:]
+        mkm1 = mk(am1)
         m1 = jnp.maximum(am1, 0).astype(bf)
         am2 = _dot_tn(sw[2][:].astype(bf), m1) + sw[3][:]
+        mkm2 = mk(am2)
         m2 = jnp.maximum(am2, 0).astype(bf)
 
         # ---- backward
@@ -187,10 +195,10 @@ def _make_field_bwd_kernel(n_trunk: int):
         gsem_b = g_sem.astype(bf)
         acc(dsw[4], _dot_nt(m2, gsem_b))  # [64, Csem]
         acc(dsw[5], _sum_lanes(g_sem))
-        gm2 = (_dot(sw[4][:].astype(bf), gsem_b) * (am2 > 0)).astype(bf)
+        gm2 = (_dot(sw[4][:].astype(bf), gsem_b) * mkm2).astype(bf)
         acc(dsw[2], _dot_nt(m1, gm2))
         acc(dsw[3], _sum_lanes(gm2))
-        gm1 = (_dot(sw[2][:].astype(bf), gm2) * (am1 > 0)).astype(bf)
+        gm1 = (_dot(sw[2][:].astype(bf), gm2) * mkm1).astype(bf)
         acc(dsw[0], _dot_nt(geo, gm1))
         acc(dsw[1], _sum_lanes(gm1))
         g_geo_sem = _dot(sw[0][:].astype(bf), gm1)  # [G, t] f32
@@ -199,10 +207,10 @@ def _make_field_bwd_kernel(n_trunk: int):
         gp_b = grgb_pre.astype(bf)
         acc(drw[4], _dot_nt(h2, gp_b))
         acc(drw[5], _sum_lanes(grgb_pre))
-        gh2 = (_dot(rw[4][:].astype(bf), gp_b) * (a2 > 0)).astype(bf)
+        gh2 = (_dot(rw[4][:].astype(bf), gp_b) * mk2).astype(bf)
         acc(drw[2], _dot_nt(h1, gh2))
         acc(drw[3], _sum_lanes(gh2))
-        gh1 = (_dot(rw[2][:].astype(bf), gh2) * (a1 > 0)).astype(bf)
+        gh1 = (_dot(rw[2][:].astype(bf), gh2) * mk1).astype(bf)
         dr0 = drw[0]
 
         @pl.when(first)
@@ -236,12 +244,12 @@ def _make_field_bwd_kernel(n_trunk: int):
         dbL[1:] += _sum_lanes(g_geo)
         gh = (
             (_dot_tn(wLb[0:1], graw_b) + _dot_tn(wLb[1:], ggeo_b))
-            * (a[LT - 2] > 0)
+            * mask[LT - 2]
         ).astype(bf)
         for i in range(LT - 2, 0, -1):
             acc(dtw[2 * i], _dot_nt(h[i - 1], gh))
             acc(dtw[2 * i + 1], _sum_lanes(gh))
-            gh = (_dot(tw[2 * i][:].astype(bf), gh) * (a[i - 1] > 0)).astype(
+            gh = (_dot(tw[2 * i][:].astype(bf), gh) * mask[i - 1]).astype(
                 bf
             )
         dw0 = dtw[0]
@@ -255,7 +263,11 @@ def _make_field_bwd_kernel(n_trunk: int):
         acc(dtw[1], _sum_lanes(gh))
         g_cos = _dot(w0b[:M], gh)  # [M, t] f32
         g_sin = _dot(w0b[M:], gh)
-        dproj = c * g_sin - s * g_cos  # f32, VMEM-only
+        # dproj from the bf16 cos/sin pair (f32 via promotion) — same
+        # rounding class as the XLA oracle, which casts dproj to bf16
+        # before every consumer (_enc_bwd); keeping only cb/sb is half
+        # the VMEM of the f32 pair
+        dproj = cb * g_sin - sb * g_cos  # f32, VMEM-only
         dpb = dproj.astype(bf)
         acc(dwspec_ref, _dot_nt(utb, dpb) * _TWO_PI)  # [3, M]
         acc(dphase_ref, _sum_lanes(dproj))  # [M, 1]

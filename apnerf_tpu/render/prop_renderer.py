@@ -123,7 +123,11 @@ def render_rays_prop(
         sigmas = yT[3] * (~miss[:, None])
         weights = _render_weights(t0, t1, sigmas)
         # all channels accumulate in one pass over the packed rows (the
-        # weighted sigma row comes along for free and is discarded)
+        # weighted sigma row comes along for free and is discarded).
+        # einsum, measured: the ~0.6 ms/step of reshape/copy the r4 trace
+        # shows around the custom-call boundary is CHEAPER than the
+        # multiply+reduce alternative (1.715× vs 1.679× bench A/B — the
+        # [C,R,S]×[R,S] reduction runs on the MXU as a batched matvec)
         acc = jnp.einsum("rs,crs->rc", weights, yT)
         opacities = jnp.sum(weights, axis=-1, keepdims=True)
         depths = jnp.einsum("rs,rs->r", weights, t_mid)[:, None]

@@ -67,6 +67,7 @@ def make_prop_config(cfg: PipelineConfig) -> spectral.SpectralDensityConfig:
         neurons=cfg.prop_neurons,
         layers=cfg.prop_layers,
         max_freq=float(min(cfg.max_resolution, 256)),
+        fused=cfg.fused_field,
     )
 
 
