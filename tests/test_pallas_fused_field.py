@@ -156,6 +156,56 @@ def test_renderer_packed_branch_parity():
     )
 
 
+def test_split_chains_match_oracle(monkeypatch):
+    """The stage-interleaved split-chain layout (APNERF_FUSED_SPLITS>1,
+    the shipping TPU configuration — see docs/PERFORMANCE.md r4 ledger)
+    is exact vs the single-chain math: fwd and every parameter grad."""
+    from apnerf_tpu.ops.pallas import fused_field_heads as ffh
+
+    monkeypatch.setattr(ffh, "_SPLITS_ENV", 2)
+    # tile must be a multiple of splits*128 for the chains to engage
+    cfg = _cfg()
+    params = spectral.init_spectral(jax.random.PRNGKey(0), cfg)
+    kp, kd = jax.random.split(jax.random.PRNGKey(1))
+    pos = jax.random.uniform(kp, (16, 128, 3), minval=-1.3, maxval=1.3)
+    dirs = jax.random.normal(kd, (16, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    assert ffh._n_splits(1024) == 2
+
+    y = spectral.forward_packed(params, cfg, pos, dirs)
+    y_ref = _oracle(params, cfg, pos, dirs)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=2e-2, atol=2e-2
+    )
+
+    w = jax.random.normal(
+        jax.random.PRNGKey(7), (4 + cfg.num_semantic_classes, 1, 1)
+    )
+    g1 = jax.grad(
+        lambda p: jnp.sum(w * spectral.forward_packed(p, cfg, pos, dirs))
+    )(params)
+    g2 = jax.grad(lambda p: jnp.sum(w * _oracle(p, cfg, pos, dirs)))(params)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, a in jax.tree_util.tree_leaves_with_path(g1):
+        b = flat2[path]
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-2,
+                                   err_msg=str(path))
+
+
+def test_n_splits_clamps_to_whole_lane_registers(monkeypatch):
+    """Chains keep whole 128-lane columns: the split count halves until
+    tile % (n*128) == 0."""
+    from apnerf_tpu.ops.pallas import fused_field_heads as ffh
+
+    monkeypatch.setattr(ffh, "_SPLITS_ENV", 4)
+    assert ffh._n_splits(1024) == 4
+    assert ffh._n_splits(256) == 2
+    assert ffh._n_splits(128) == 1
+    assert ffh._n_splits(384) == 1  # 384 % 512 and % 256 both nonzero
+
+
 def test_use_packed_field_gate(monkeypatch):
     cfg, params, _, _ = _setup()
     # default: off on the CPU backend (auto = TPU only)
