@@ -347,6 +347,60 @@ def use_packed_field(cfg: SpectralConfig, params: dict, n_rows: int) -> bool:
     )
 
 
+def use_packed_volrend(
+    cfg: SpectralConfig, params: dict, R: int, S: int
+) -> bool:
+    """Route the train render through the fused field+volrend kernel
+    (``ops/pallas/fused_field_volrend``: the whole-field kernel extended
+    THROUGH the per-ray weight/accumulate math — per-sample field values
+    never leave VMEM)? Requires the ``use_packed_field`` gate plus
+    lane-aligned ray segments (S divides the column tile; 128-ray acc
+    blocks). ``APNERF_FUSED_VR=0/1`` forces it off/on (bench ablations).
+    """
+    env = os.environ.get("APNERF_FUSED_VR")
+    if env == "0":
+        return False
+    if not (use_packed_field(cfg, params, R * S) or env == "1"):
+        return False
+    from ..ops.pallas.fused_field_volrend import supports_fused_volrend
+
+    return supports_fused_volrend(R * S, S)
+
+
+def forward_packed_volrend(
+    params: dict,
+    cfg: SpectralConfig,
+    positions: jnp.ndarray,  # [R, S, 3]
+    rays_d: jnp.ndarray,  # [R, 3]
+    t0: jnp.ndarray,  # [R, S]
+    t1: jnp.ndarray,  # [R, S]
+    miss: jnp.ndarray,  # [R] bool, ray missed the aabb
+):
+    """Whole field + volume rendering in one kernel → (acc [5+C, R] f32,
+    weights [R, S] f32). acc rows: 0:3 Σw·rgb, 3 Σw (opacity), 4 Σw·t_mid
+    (depth numerator), 5: Σw·sem. Ray misses fold into dt (α=0 ⇒ w=0),
+    exactly the unfused ``sigmas * ~miss`` masking. Same math as the
+    packed path + ``render_weight_from_density`` + the accumulation
+    einsum (oracle-tested in tests/test_pallas_fused_volrend.py)."""
+    from ..ops.pallas.fused_field_volrend import fused_field_volrend
+
+    R, S = positions.shape[0], positions.shape[1]
+    u, _ = _normalize(cfg, positions)
+    ut = u.reshape(-1, 3).T  # [3, N]
+    sh = sh_encode_deg4(rays_d)  # [R, 16]
+    sht = jnp.broadcast_to(
+        sh.T[:, :, None], (16, R, S)
+    ).reshape(16, R * S)
+    dt = ((t1 - t0) * (~miss)[:, None]).reshape(1, -1)
+    tm = (0.5 * (t0 + t1)).reshape(1, -1)
+    acc, w = fused_field_volrend(
+        params["W"], params["phase"], params["mlp_base"],
+        params["mlp_head"], params["mlp_sem"], ut, sht,
+        dt.astype(jnp.float32), tm.astype(jnp.float32), S,
+    )
+    return acc, w.reshape(R, S)
+
+
 def forward_packed(
     params: dict,
     cfg: SpectralConfig,

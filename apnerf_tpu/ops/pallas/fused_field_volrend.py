@@ -1,0 +1,535 @@
+"""Fused field + volume-rendering Pallas kernel: the whole train render.
+
+Extends the whole-field kernel (``fused_field_heads``: spectral encode +
+trunk + density/rgb/sem heads) THROUGH the volume-rendering accumulation,
+so the per-sample field values never leave VMEM. The reference's train
+step materializes per-sample rgb/sigma/sem and runs separate CUDA scans +
+``index_add_`` accumulations (`/root/reference/perception/models/
+utils.py:362-461`, nerfacc ``scan.cu``/``volrend.py:486-550``); the
+fused_field_heads path already deleted the inter-kernel glue but still
+wrote a packed [4+C, N] f32 field output — 69 MB/step that the r4
+production trace shows costing ~0.65 ms/step of pure retiling
+(``reshape.1370`` + the gradient-side inverse) plus the downstream XLA
+weights/accumulate chain. This kernel's outputs are per-RAY:
+
+    acc = [ rgb_acc (3 rows)     Σ_s w_s·rgb_s
+            opacity (1 row)      Σ_s w_s
+            depth_num (1 row)    Σ_s w_s·t_mid_s
+            sem_acc (C rows) ]   Σ_s w_s·sem_s        # [5+C, R] f32
+    weights                                           # [1, N] f32
+
+(weights stream out only because ``prop_loss`` consumes them — detached,
+``models/propnet.py:137``). Background compositing and the depth/opacity
+division stay outside (tiny [R, ·] ops).
+
+TPU mechanics — everything stays in the kernel's transposed [rows, cols]
+orientation (no in-kernel reshapes, which don't lower on this Mosaic
+target):
+
+* Per-ray segments are lane-aligned: S (samples/ray) divides the column
+  tile, so a ray's samples are contiguous lanes. The exclusive cumsum for
+  transmittance runs as ONE small matmul with an iota-generated
+  block-lower-triangular mask ``LT[m, n] = (m//S == n//S) & (m < n)`` —
+  the segmented scan becomes an MXU op (f32; the mask FLOPs are ~0.1% of
+  the tile's trunk FLOPs). The backward's reverse cumsum reuses the SAME
+  mask with the contraction flipped (``_dot_nt``).
+* Per-ray reductions use a ray-indicator matmul ``Grel[n, j] =
+  (ray(n) == j)`` into a [rows, 128] block: the acc output block covers
+  128 rays and is revisited for ``128·S/t`` consecutive grid steps
+  (zeroed on first visit, accumulated in VMEM, written back by Pallas
+  when the block index advances) — the same revisiting-accumulator
+  pattern as the weight gradients. The backward broadcasts the per-ray
+  cotangent back over lanes with the transposed indicator.
+* The volrend backward is closed-form in-kernel: with a = σ·dt,
+  T = exp(-excl_cumsum a), α = 1-exp(-a), w = T·α,
+  da_s = dw_s·T_s·exp(-a_s) − Σ_{j>s} dw_j·w_j (reverse cumsum).
+
+Ray validity (aabb miss) folds into dt (dt=0 ⇒ α=0 ⇒ w=0), exactly
+matching the unfused ``sigmas * ~miss`` (``render/prop_renderer.py``).
+Sampled t's are stop-gradiented by the renderer (as nerfacc's estimator
+samples under no_grad, ``prop_net.py:61-134``), so dt/t_mid need no
+cotangents.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_field_heads import (
+    _head_weights_t,
+    _mlp_grads_from_flat,
+    _n_splits,
+    _sum_lanes,
+    _trunk_weights_t,
+    _whole,
+)
+from .fused_mlp import _TWO_PI, _dot, _dot_nt, _dot_tn, _tile, _use_interpret
+
+# rays per acc output block — one full lane register of per-ray values
+_RAY_BLOCK = 128
+
+
+def _clamp_splits(t: int, S: int) -> int:
+    """Chains must hold whole rays AND whole lane registers."""
+    n = _n_splits(t)
+    while (t // n) % S and n > 1:
+        n //= 2
+    return n
+
+
+def _lt_mask(tc: int, S: int):
+    """Block-lower-triangular f32 [tc, tc]: 1 where (same ray) & (m < n).
+    excl_cumsum(a)[n] = Σ_m a[m]·LT[m,n]  (a @ LT);
+    rev_excl_cumsum(v)[n] = Σ_m v[m]·LT[n,m]  (_dot_nt(v, LT))."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 1)
+    return ((r // S == c // S) & (r < c)).astype(jnp.float32)
+
+
+def _grel(i, k, tc: int, S: int, spg: int, rays_per_tile: int):
+    """Ray-indicator bf16 [tc, 128] for chain k of grid step i: Grel[n, j]
+    = 1 iff column n belongs to ray j of the current 128-ray acc block."""
+    base = (i % spg) * rays_per_tile + k * (tc // S)
+    rr = base + jax.lax.broadcasted_iota(jnp.int32, (tc, _RAY_BLOCK), 0) // S
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tc, _RAY_BLOCK), 1)
+    return (rr == jj).astype(jnp.bfloat16)
+
+
+def _field_fwd_chains(ut_ref, sht_ref, wspec_ref, phase_ref, tw, rw, sw,
+                      cols, with_preacts: bool):
+    """Shared stage-interleaved field recompute over column chains (the
+    fused_field_heads fwd math verbatim). Returns per-chain lists; with
+    ``with_preacts`` also the intermediates the backward needs."""
+    bf = jnp.bfloat16
+    LT = len(tw) // 2
+    Z = range(len(cols))
+    mkf = lambda pre: (pre > 0).astype(bf)
+    ut = [ut_ref[:, col] for col in cols]
+    utb = [u.astype(bf) for u in ut]
+    wsb = wspec_ref[:].astype(bf)
+    proj = [_dot_tn(wsb, ub) * _TWO_PI + phase_ref[:] for ub in utb]
+    M = proj[0].shape[0]
+    cb = [jnp.cos(p).astype(bf) for p in proj]
+    sb = [jnp.sin(p).astype(bf) for p in proj]
+    w0b = tw[0][:].astype(bf)
+    a0 = [_dot_tn(w0b[:M], cb[k]) + _dot_tn(w0b[M:], sb[k]) + tw[1][:]
+          for k in Z]
+    mask = [[mkf(a)] for a in a0]
+    h = [[jnp.maximum(a, 0).astype(bf)] for a in a0]
+    for i in range(1, LT - 1):
+        wib = tw[2 * i][:].astype(bf)
+        ai = [_dot_tn(wib, h[k][-1]) + tw[2 * i + 1][:] for k in Z]
+        for k in Z:
+            mask[k].append(mkf(ai[k]))
+            h[k].append(jnp.maximum(ai[k], 0).astype(bf))
+    wLb = tw[2 * (LT - 1)][:].astype(bf)  # [1+G, H] pre-transposed
+    out = [_dot(wLb, h[k][-1]) + tw[2 * LT - 1][:] for k in Z]
+    raw = [o[0:1] for o in out]
+    geo = [o[1:].astype(bf) for o in out]
+    sel = [
+        (
+            (u[0:1] > 0.0) & (u[0:1] < 1.0)
+            & (u[1:2] > 0.0) & (u[1:2] < 1.0)
+            & (u[2:3] > 0.0) & (u[2:3] < 1.0)
+        ).astype(jnp.float32)
+        for u in ut
+    ]
+    sigma = [jnp.exp(raw[k] - 1.0) * sel[k] for k in Z]
+    shb = [sht_ref[:, col].astype(bf) for col in cols]
+    r0b = rw[0][:].astype(bf)
+    a1 = [_dot_tn(r0b[:16], shb[k]) + _dot_tn(r0b[16:], geo[k]) + rw[1][:]
+          for k in Z]
+    mk1 = [mkf(a) for a in a1]
+    h1 = [jnp.maximum(a, 0).astype(bf) for a in a1]
+    r2b = rw[2][:].astype(bf)
+    a2 = [_dot_tn(r2b, hk) + rw[3][:] for hk in h1]
+    mk2 = [mkf(a) for a in a2]
+    h2 = [jnp.maximum(a, 0).astype(bf) for a in a2]
+    r4b = rw[4][:].astype(bf)
+    rgb = [1.0 / (1.0 + jnp.exp(-(_dot_tn(r4b, hk) + rw[5][:])))
+           for hk in h2]
+    s0b = sw[0][:].astype(bf)
+    am1 = [_dot_tn(s0b, g_) + sw[1][:] for g_ in geo]
+    mkm1 = [mkf(a) for a in am1]
+    m1 = [jnp.maximum(a, 0).astype(bf) for a in am1]
+    s2b = sw[2][:].astype(bf)
+    am2 = [_dot_tn(s2b, mm) + sw[3][:] for mm in m1]
+    mkm2 = [mkf(a) for a in am2]
+    m2 = [jnp.maximum(a, 0).astype(bf) for a in am2]
+    s4b = sw[4][:].astype(bf)
+    sem = [_dot_tn(s4b, mk_) + sw[5][:] for mk_ in m2]  # [Csem, tc] f32
+    fwd = dict(rgb=rgb, sigma=sigma, sem=sem)
+    if not with_preacts:
+        return fwd
+    fwd.update(
+        utb=utb, cb=cb, sb=sb, M=M, mask=mask, h=h, raw=raw, geo=geo,
+        sel=sel, shb=shb, mk1=mk1, h1=h1, mk2=mk2, h2=h2,
+        mkm1=mkm1, m1=m1, mkm2=mkm2, m2=m2,
+        w0b=w0b, wLb=wLb, r0b=r0b, r2b=r2b, r4b=r4b,
+        s0b=s0b, s2b=s2b, s4b=s4b, wsb=wsb,
+    )
+    return fwd
+
+
+def _volrend_chains(sigma, dt_ref, cols, ltm):
+    """Per-chain transmittance weights: a=σ·dt, T=exp(-excl_cumsum a),
+    α=1-exp(-a), w=T·α — matches ops/volrend.render_weight_from_density
+    (exclusive-sum formulation, `volrend.py:164-229`)."""
+    a = [sigma[k] * dt_ref[:, col] for k, col in enumerate(cols)]
+    Tr = [jnp.exp(-_dot(ak, ltm)) for ak in a]
+    al = [1.0 - jnp.exp(-ak) for ak in a]
+    w = [Tr[k] * al[k] for k in range(len(cols))]
+    return a, Tr, al, w
+
+
+def _make_fvr_fwd_kernel(n_trunk: int, S: int, spg: int,
+                         rays_per_tile: int, n_splits: int):
+    LT = n_trunk
+
+    def kernel(ut_ref, sht_ref, dt_ref, tm_ref, wspec_ref, phase_ref,
+               *refs):
+        tw = refs[: 2 * LT]
+        rw = refs[2 * LT : 2 * LT + 6]
+        sw = refs[2 * LT + 6 : 2 * LT + 12]
+        acc_ref, w_ref = refs[-2], refs[-1]
+        bf = jnp.bfloat16
+        i = pl.program_id(0)
+        t = ut_ref.shape[1]
+        tc = t // n_splits
+        Z = range(n_splits)
+        cols = [slice(k * tc, (k + 1) * tc) for k in Z]
+        f = _field_fwd_chains(ut_ref, sht_ref, wspec_ref, phase_ref,
+                              tw, rw, sw, cols, with_preacts=False)
+        ltm = _lt_mask(tc, S)
+        _, _, _, w = _volrend_chains(f["sigma"], dt_ref, cols, ltm)
+        for k in Z:
+            w_ref[:, cols[k]] = w[k]
+        # per-ray accumulation into the revisited 128-ray block. Products
+        # round to bf16 for the indicator matmul (f32 MXU passes would
+        # cost ~4x); the 128-term ray sums still accumulate in f32.
+        gr = [_grel(i, k, tc, S, spg, rays_per_tile) for k in Z]
+        wb = [w[k].astype(bf) for k in Z]
+        rgbc = [_dot((f["rgb"][k] * w[k]).astype(bf), gr[k]) for k in Z]
+        opc = [_dot(wb[k], gr[k]) for k in Z]
+        depc = [_dot((w[k] * tm_ref[:, cols[k]]).astype(bf), gr[k])
+                for k in Z]
+        semc = [_dot((f["sem"][k] * w[k]).astype(bf), gr[k]) for k in Z]
+
+        @pl.when(i % spg == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        for k in Z:
+            acc_ref[0:3] += rgbc[k]
+            acc_ref[3:4] += opc[k]
+            acc_ref[4:5] += depc[k]
+            acc_ref[5:] += semc[k]
+
+    return kernel
+
+
+def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
+                         rays_per_tile: int, n_splits: int):
+    LT = n_trunk
+
+    def kernel(ut_ref, sht_ref, dt_ref, tm_ref, wspec_ref, phase_ref,
+               *refs):
+        tw = refs[: 2 * LT]
+        rw = refs[2 * LT : 2 * LT + 6]
+        sw = refs[2 * LT + 6 : 2 * LT + 12]
+        gacc_ref = refs[2 * LT + 12]
+        gwin_ref = refs[2 * LT + 13]
+        dut_ref = refs[2 * LT + 14]
+        dwspec_ref = refs[2 * LT + 15]
+        dphase_ref = refs[2 * LT + 16]
+        dtw = refs[2 * LT + 17 : 4 * LT + 17]
+        drw = refs[4 * LT + 17 : 4 * LT + 23]
+        dsw = refs[4 * LT + 23 : 4 * LT + 29]
+        bf = jnp.bfloat16
+        i = pl.program_id(0)
+        first = i == 0
+        t = ut_ref.shape[1]
+        tc = t // n_splits
+        Z = range(n_splits)
+        csum = lambda vals: sum(vals[1:], vals[0])
+        cols = [slice(k * tc, (k + 1) * tc) for k in Z]
+        f = _field_fwd_chains(ut_ref, sht_ref, wspec_ref, phase_ref,
+                              tw, rw, sw, cols, with_preacts=True)
+        ltm = _lt_mask(tc, S)
+        a, Tr, _, w = _volrend_chains(f["sigma"], dt_ref, cols, ltm)
+
+        # per-ray cotangents broadcast back over lanes
+        gaccb = gacc_ref[:].astype(bf)  # [5+C, 128]
+        gr = [_grel(i, k, tc, S, spg, rays_per_tile) for k in Z]
+        gb = [_dot_nt(gaccb, gr[k]) for k in Z]  # [5+C, tc] f32
+        g_rgb = [gb[k][0:3] * w[k] for k in Z]
+        g_sem = [gb[k][5:] * w[k] for k in Z]
+        # d(loss)/d(w_s): direct acc terms + the weights-output cotangent
+        dw = [
+            jnp.sum(f["rgb"][k] * gb[k][0:3], axis=0, keepdims=True)
+            + gb[k][3:4]
+            + tm_ref[:, cols[k]] * gb[k][4:5]
+            + jnp.sum(f["sem"][k] * gb[k][5:], axis=0, keepdims=True)
+            + gwin_ref[:, cols[k]]
+            for k in Z
+        ]
+        # w = T·α with T = exp(-excl_cum a), α = 1-exp(-a):
+        # da_s = dw_s·T_s·e^{-a_s} − Σ_{j>s} dw_j·w_j
+        da = [
+            dw[k] * Tr[k] * jnp.exp(-a[k]) - _dot_nt(dw[k] * w[k], ltm)
+            for k in Z
+        ]
+        dsig = [da[k] * dt_ref[:, cols[k]] for k in Z]
+
+        # ---- field backward (fused_field_heads bwd with the packed
+        # per-sample cotangent replaced by {g_rgb, dsig, g_sem})
+        raw, sel, geo = f["raw"], f["sel"], f["geo"]
+        rgb, mask, h = f["rgb"], f["mask"], f["h"]
+        gsem_b = [gs.astype(bf) for gs in g_sem]
+        s4b, s2b, s0b = f["s4b"], f["s2b"], f["s0b"]
+        gm2 = [(_dot(s4b, gsem_b[k]) * f["mkm2"][k]).astype(bf) for k in Z]
+        gm1 = [(_dot(s2b, gm2[k]) * f["mkm1"][k]).astype(bf) for k in Z]
+        g_geo_sem = [_dot(s0b, gm) for gm in gm1]
+
+        r4b, r2b, r0b = f["r4b"], f["r2b"], f["r0b"]
+        grgb_pre = [g_rgb[k] * rgb[k] * (1.0 - rgb[k]) for k in Z]
+        gp_b = [gp.astype(bf) for gp in grgb_pre]
+        gh2 = [(_dot(r4b, gp_b[k]) * f["mk2"][k]).astype(bf) for k in Z]
+        gh1 = [(_dot(r2b, gh2[k]) * f["mk1"][k]).astype(bf) for k in Z]
+        g_geo_rgb = [_dot(r0b[16:], gh) for gh in gh1]
+
+        graw = [
+            dsig[k] * jnp.exp(jnp.minimum(raw[k] - 1.0, 15.0)) * sel[k]
+            for k in Z
+        ]
+        g_geo = [g_geo_sem[k] + g_geo_rgb[k] for k in Z]
+        graw_b = [g.astype(bf) for g in graw]
+        ggeo_b = [g.astype(bf) for g in g_geo]
+        wLb, w0b, wsb = f["wLb"], f["w0b"], f["wsb"]
+        gh = [
+            (
+                (_dot_tn(wLb[0:1], graw_b[k]) + _dot_tn(wLb[1:], ggeo_b[k]))
+                * mask[k][LT - 2]
+            ).astype(bf)
+            for k in Z
+        ]
+        mid = []
+        for li in range(LT - 2, 0, -1):
+            mid.append(csum([_dot_nt(h[k][li - 1], gh[k]) for k in Z]))
+            mid.append(csum([_sum_lanes(gh[k]) for k in Z]))
+            wib = tw[2 * li][:].astype(bf)
+            gh = [(_dot(wib, gh[k]) * mask[k][li - 1]).astype(bf)
+                  for k in Z]
+        M = f["M"]
+        cb, sb, utb = f["cb"], f["sb"], f["utb"]
+        g_cos = [_dot(w0b[:M], ghk) for ghk in gh]
+        g_sin = [_dot(w0b[M:], ghk) for ghk in gh]
+        dproj = [cb[k] * g_sin[k] - sb[k] * g_cos[k] for k in Z]
+        dpb = [dp.astype(bf) for dp in dproj]
+        for k in Z:
+            dut_ref[:, cols[k]] = (_dot(wsb, dpb[k]) * _TWO_PI).astype(
+                dut_ref.dtype
+            )
+        shb, h1, h2 = f["shb"], f["h1"], f["h2"]
+        m1, m2 = f["m1"], f["m2"]
+        v = [
+            csum([_dot_nt(utb[k], dpb[k]) for k in Z]) * _TWO_PI,
+            csum([_sum_lanes(dproj[k]) for k in Z]),
+            csum([_dot_nt(cb[k], gh[k]) for k in Z]),
+            csum([_dot_nt(sb[k], gh[k]) for k in Z]),
+            csum([_sum_lanes(gh[k]) for k in Z]),
+            *mid,
+            csum([_dot_nt(graw_b[k], h[k][-1]) for k in Z]),
+            csum([_dot_nt(ggeo_b[k], h[k][-1]) for k in Z]),
+            csum([_sum_lanes(graw[k]) for k in Z]),
+            csum([_sum_lanes(g_geo[k]) for k in Z]),
+            csum([_dot_nt(shb[k], gh1[k]) for k in Z]),
+            csum([_dot_nt(geo[k], gh1[k]) for k in Z]),
+            csum([_sum_lanes(gh1[k]) for k in Z]),
+            csum([_dot_nt(h1[k], gh2[k]) for k in Z]),
+            csum([_sum_lanes(gh2[k]) for k in Z]),
+            csum([_dot_nt(h2[k], gp_b[k]) for k in Z]),
+            csum([_sum_lanes(grgb_pre[k]) for k in Z]),
+            csum([_dot_nt(geo[k], gm1[k]) for k in Z]),
+            csum([_sum_lanes(gm1[k]) for k in Z]),
+            csum([_dot_nt(m1[k], gm2[k]) for k in Z]),
+            csum([_sum_lanes(gm2[k]) for k in Z]),
+            csum([_dot_nt(m2[k], gsem_b[k]) for k in Z]),
+            csum([_sum_lanes(g_sem[k]) for k in Z]),
+        ]
+
+        def acc(ref, val):
+            @pl.when(first)
+            def _():
+                ref[...] = jnp.zeros_like(ref)
+
+            ref[...] += val
+
+        def acc_split(ref, row_splits, vals):
+            @pl.when(first)
+            def _():
+                ref[...] = jnp.zeros_like(ref)
+
+            for rows, val in zip(row_splits, vals):
+                ref[rows] += val
+
+        Mspec = wspec_ref.shape[1]
+        acc(dwspec_ref, v[0])
+        acc(dphase_ref, v[1])
+        acc_split(dtw[0], (slice(0, Mspec), slice(Mspec, None)),
+                  (v[2], v[3]))
+        acc(dtw[1], v[4])
+        p = 5
+        for li in range(LT - 2, 0, -1):
+            acc(dtw[2 * li], v[p])
+            acc(dtw[2 * li + 1], v[p + 1])
+            p += 2
+        acc_split(dtw[2 * (LT - 1)], (slice(0, 1), slice(1, None)),
+                  (v[p], v[p + 1]))
+        acc_split(dtw[2 * LT - 1], (slice(0, 1), slice(1, None)),
+                  (v[p + 2], v[p + 3]))
+        acc_split(drw[0], (slice(0, 16), slice(16, None)),
+                  (v[p + 4], v[p + 5]))
+        acc(drw[1], v[p + 6])
+        acc(drw[2], v[p + 7])
+        acc(drw[3], v[p + 8])
+        acc(drw[4], v[p + 9])
+        acc(drw[5], v[p + 10])
+        for j in range(6):
+            acc(dsw[j], v[p + 11 + j])
+
+    return kernel
+
+
+def _plan(N: int, S: int):
+    """(tile, splits, steps-per-acc-block, rays-per-tile) or None if the
+    shapes don't admit the lane-aligned layout."""
+    t = _tile(N)
+    if t % S or (_RAY_BLOCK * S) % t or (N // S) % _RAY_BLOCK:
+        return None
+    return t, _clamp_splits(t, S), (_RAY_BLOCK * S) // t, t // S
+
+
+def supports_fused_volrend(N: int, S: int) -> bool:
+    return _plan(N, S) is not None
+
+
+def _call_fvr_fwd(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws, S):
+    N = ut.shape[1]
+    c_out = 5 + sws[-2].shape[1]
+    t, nsp, spg, rpt = _plan(N, S)
+    R = N // S
+    nspec = lambda d: pl.BlockSpec(
+        (d, t), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    ws = list(tws) + list(rws) + list(sws)
+    return pl.pallas_call(
+        _make_fvr_fwd_kernel(len(tws) // 2, S, spg, rpt, nsp),
+        grid=(N // t,),
+        in_specs=[nspec(3), nspec(16), nspec(1), nspec(1)]
+        + _whole([wspec.shape, phase2d.shape])
+        + _whole([w.shape for w in ws]),
+        out_specs=(
+            pl.BlockSpec(
+                (c_out, _RAY_BLOCK),
+                lambda i, _spg=spg: (0, i // _spg),
+                memory_space=pltpu.VMEM,
+            ),
+            nspec(1),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c_out, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+        ),
+        interpret=_use_interpret(),
+    )(ut, sht, dt, tm, wspec, phase2d, *ws)
+
+
+def _call_fvr_bwd(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws,
+                  g_acc, g_w, S):
+    N = ut.shape[1]
+    M = wspec.shape[1]
+    c_out = g_acc.shape[0]
+    t, nsp, spg, rpt = _plan(N, S)
+    nspec = lambda d: pl.BlockSpec(
+        (d, t), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    ws = list(tws) + list(rws) + list(sws)
+    acc_shapes = [(3, M), (M, 1)] + [w.shape for w in ws]
+    return pl.pallas_call(
+        _make_fvr_bwd_kernel(len(tws) // 2, S, spg, rpt, nsp),
+        grid=(N // t,),
+        in_specs=[nspec(3), nspec(16), nspec(1), nspec(1)]
+        + _whole([wspec.shape, phase2d.shape])
+        + _whole([w.shape for w in ws])
+        + [
+            pl.BlockSpec(
+                (c_out, _RAY_BLOCK),
+                lambda i, _spg=spg: (0, i // _spg),
+                memory_space=pltpu.VMEM,
+            ),
+            nspec(1),
+        ],
+        out_specs=(nspec(3),) + tuple(_whole(acc_shapes)),
+        out_shape=(jax.ShapeDtypeStruct((3, N), ut.dtype),)
+        + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in acc_shapes),
+        interpret=_use_interpret(),
+    )(ut, sht, dt, tm, wspec, phase2d, *ws, g_acc, g_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_field_volrend(
+    W_spec: jnp.ndarray,  # [3, M]
+    phase: jnp.ndarray,  # [M]
+    base: dict,
+    head: dict,
+    sem: dict,
+    ut: jnp.ndarray,  # [3, N] unit-cube coords, transposed
+    sht: jnp.ndarray,  # [16, N] SH features, transposed
+    dt: jnp.ndarray,  # [1, N] t1-t0, zeroed on aabb-miss rays
+    tm: jnp.ndarray,  # [1, N] midpoint t
+    S: int,  # samples per ray (lane-aligned segment size)
+):
+    """→ (acc [5+C, N/S] f32, weights [1, N] f32). See module docstring."""
+    return _call_fvr_fwd(
+        ut, sht, dt, tm, W_spec, phase.reshape(-1, 1),
+        _trunk_weights_t(base), _head_weights_t(head),
+        _head_weights_t(sem), S,
+    )
+
+
+def _fvr_fwd(W_spec, phase, base, head, sem, ut, sht, dt, tm, S):
+    out = fused_field_volrend(W_spec, phase, base, head, sem, ut, sht,
+                              dt, tm, S)
+    return out, (W_spec, phase, base, head, sem, ut, sht, dt, tm)
+
+
+def _fvr_bwd(S, res, g):
+    W_spec, phase, base, head, sem, ut, sht, dt, tm = res
+    g_acc, g_w = g
+    tws = _trunk_weights_t(base)
+    outs = _call_fvr_bwd(
+        ut, sht, dt, tm, W_spec, phase.reshape(-1, 1),
+        tws, _head_weights_t(head), _head_weights_t(sem),
+        g_acc.astype(jnp.float32), g_w.astype(jnp.float32), S,
+    )
+    dut = outs[0].astype(ut.dtype)
+    dW = outs[1].astype(W_spec.dtype)
+    dphase = outs[2].reshape(-1).astype(phase.dtype)
+    nt = len(tws)
+    dbase = _mlp_grads_from_flat(base, outs[3 : 3 + nt], True)
+    dhead = _mlp_grads_from_flat(head, outs[3 + nt : 9 + nt], False)
+    dsem = _mlp_grads_from_flat(sem, outs[9 + nt : 15 + nt], False)
+    # dt/tm come from the (stop-gradiented) sampler; SH features are a
+    # fixed function of ray directions. Zeros are DCE'd when unused.
+    return (dW, dphase, dbase, dhead, dsem, dut,
+            jnp.zeros_like(sht), jnp.zeros_like(dt), jnp.zeros_like(tm))
+
+
+fused_field_volrend.defvjp(_fvr_fwd, _fvr_bwd)

@@ -63,6 +63,7 @@ def render_rays_prop(
     with_variance: bool = False,
     sem_final: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     field_packed_fn: Optional[Callable] = None,
+    field_packed_vr_fn: Optional[Callable] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """One proposal round + main field render.
 
@@ -117,6 +118,30 @@ def render_rays_prop(
 
     t_mid = 0.5 * (t0 + t1)
     pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+
+    if field_packed_vr_fn is not None and not with_variance:
+        # fused field+volrend kernel: per-sample field values never leave
+        # VMEM; the kernel returns per-RAY accumulations + the weights
+        # row prop_loss consumes (detached). Background compositing and
+        # the depth normalization stay out here (tiny [R, .] ops).
+        acc, weights = field_packed_vr_fn(pos, rays_d, t0, t1, miss)
+        accT = acc.T  # [R, 5+C]
+        opacities = accT[:, 3:4]
+        depths = accT[:, 4:5] / jnp.clip(
+            opacities, min=jnp.finfo(acc.dtype).eps
+        )
+        rgb_acc = accT[:, 0:3]
+        if render_bkgd is not None:
+            rgb_acc = rgb_acc + render_bkgd * (1.0 - opacities)
+        outs = {
+            "rgb": rgb_acc,
+            "opacity": opacities,
+            "depth": depths,
+            "sem": accT[:, 5:],
+            "n_samples": jnp.sum(~miss) * num_samples,
+        }
+        p_loss = prop_loss(levels, t0, t1, weights, use_onehot=True)
+        return outs, p_loss
 
     if field_packed_fn is not None:
         yT = field_packed_fn(pos, rays_d)  # [4+C, R, S]

@@ -132,6 +132,14 @@ def make_flagship_member_core(
             # field→heads XLA glue, docs/PERFORMANCE.md r4c):
             n_rows = batch.origins.shape[0] * cfg.max_samples_train
             packed = spectral.use_packed_field(s_cfg, p["main"], n_rows)
+            # fused field+volrend kernel (ops/pallas/fused_field_volrend):
+            # per-sample field values never leave VMEM, outputs are
+            # per-RAY accumulations — supersedes the packed path when the
+            # shapes admit the lane-aligned layout.
+            packed_vr = spectral.use_packed_volrend(
+                s_cfg, p["main"], batch.origins.shape[0],
+                cfg.max_samples_train,
+            )
             # semantic-head reassociation (models/spectral.py
             # query_semantic_hidden): accumulate the narrow bf16 hidden,
             # apply the final linear after — exact math, no [N, C] f32
@@ -149,6 +157,11 @@ def make_flagship_member_core(
             def field_packed_fn(pos, rays_d):
                 return spectral.forward_packed(p["main"], s_cfg, pos, rays_d)
 
+            def field_packed_vr_fn(pos, rays_d, t0, t1, miss):
+                return spectral.forward_packed_volrend(
+                    p["main"], s_cfg, pos, rays_d, t0, t1, miss
+                )
+
             def prop_density_fn(pos):
                 return spectral.query_density_field(p["prop"], p_cfg, pos)
 
@@ -164,6 +177,9 @@ def make_flagship_member_core(
                     spectral.semantic_final(p["main"]) if reassoc else None
                 ),
                 field_packed_fn=field_packed_fn if packed else None,
+                field_packed_vr_fn=(
+                    field_packed_vr_fn if packed_vr else None
+                ),
             )
             l_rgb = jnp.mean(optax.huber_loss(out["rgb"], batch.pixels))
             l_dep = jnp.mean(optax.huber_loss(out["depth"][:, 0], batch.depth))
