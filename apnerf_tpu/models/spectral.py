@@ -387,10 +387,8 @@ def forward_packed_volrend(
     R, S = positions.shape[0], positions.shape[1]
     u, _ = _normalize(cfg, positions)
     ut = u.reshape(-1, 3).T  # [3, N]
-    sh = sh_encode_deg4(rays_d)  # [R, 16]
-    sht = jnp.broadcast_to(
-        sh.T[:, :, None], (16, R, S)
-    ).reshape(16, R * S)
+    sht = sh_encode_deg4(rays_d).T  # [16, R]; fans out over lanes
+    # in-kernel via the ray-indicator matmul (no [16, N] broadcast)
     dt = ((t1 - t0) * (~miss)[:, None]).reshape(1, -1)
     tm = (0.5 * (t0 + t1)).reshape(1, -1)
     acc, w = fused_field_volrend(

@@ -101,10 +101,12 @@ def _grel(i, k, tc: int, S: int, spg: int, rays_per_tile: int):
     return (rr == jj).astype(jnp.bfloat16)
 
 
-def _field_fwd_chains(ut_ref, sht_ref, wspec_ref, phase_ref, tw, rw, sw,
+def _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref, tw, rw, sw,
                       cols, with_preacts: bool):
     """Shared stage-interleaved field recompute over column chains (the
-    fused_field_heads fwd math verbatim). Returns per-chain lists; with
+    fused_field_heads fwd math verbatim, except SH view features arrive
+    pre-expanded per chain — bf16 [16, tc] lists built from the per-RAY
+    block via the ray-indicator matmul). Returns per-chain lists; with
     ``with_preacts`` also the intermediates the backward needs."""
     bf = jnp.bfloat16
     LT = len(tw) // 2
@@ -141,7 +143,6 @@ def _field_fwd_chains(ut_ref, sht_ref, wspec_ref, phase_ref, tw, rw, sw,
         for u in ut
     ]
     sigma = [jnp.exp(raw[k] - 1.0) * sel[k] for k in Z]
-    shb = [sht_ref[:, col].astype(bf) for col in cols]
     r0b = rw[0][:].astype(bf)
     a1 = [_dot_tn(r0b[:16], shb[k]) + _dot_tn(r0b[16:], geo[k]) + rw[1][:]
           for k in Z]
@@ -204,7 +205,14 @@ def _make_fvr_fwd_kernel(n_trunk: int, S: int, spg: int,
         tc = t // n_splits
         Z = range(n_splits)
         cols = [slice(k * tc, (k + 1) * tc) for k in Z]
-        f = _field_fwd_chains(ut_ref, sht_ref, wspec_ref, phase_ref,
+        # ray-indicator blocks double as the SH expander: sht arrives
+        # per-RAY [16, 128] (not per-sample [16, N] — that broadcast was
+        # ~100 MB/step of HBM traffic) and fans out over lanes with one
+        # [16,128]x[128,tc] MXU dot per chain.
+        gr = [_grel(i, k, tc, S, spg, rays_per_tile) for k in Z]
+        shtb = sht_ref[:].astype(bf)
+        shb = [_dot_nt(shtb, gr[k]).astype(bf) for k in Z]
+        f = _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref,
                               tw, rw, sw, cols, with_preacts=False)
         ltm = _lt_mask(tc, S)
         _, _, _, w = _volrend_chains(f["sigma"], dt_ref, cols, ltm)
@@ -213,7 +221,6 @@ def _make_fvr_fwd_kernel(n_trunk: int, S: int, spg: int,
         # per-ray accumulation into the revisited 128-ray block. Products
         # round to bf16 for the indicator matmul (f32 MXU passes would
         # cost ~4x); the 128-term ray sums still accumulate in f32.
-        gr = [_grel(i, k, tc, S, spg, rays_per_tile) for k in Z]
         wb = [w[k].astype(bf) for k in Z]
         rgbc = [_dot((f["rgb"][k] * w[k]).astype(bf), gr[k]) for k in Z]
         opc = [_dot(wb[k], gr[k]) for k in Z]
@@ -259,14 +266,16 @@ def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
         Z = range(n_splits)
         csum = lambda vals: sum(vals[1:], vals[0])
         cols = [slice(k * tc, (k + 1) * tc) for k in Z]
-        f = _field_fwd_chains(ut_ref, sht_ref, wspec_ref, phase_ref,
+        gr = [_grel(i, k, tc, S, spg, rays_per_tile) for k in Z]
+        shtb = sht_ref[:].astype(bf)
+        shb_in = [_dot_nt(shtb, gr[k]).astype(bf) for k in Z]
+        f = _field_fwd_chains(ut_ref, shb_in, wspec_ref, phase_ref,
                               tw, rw, sw, cols, with_preacts=True)
         ltm = _lt_mask(tc, S)
         a, Tr, _, w = _volrend_chains(f["sigma"], dt_ref, cols, ltm)
 
         # per-ray cotangents broadcast back over lanes
         gaccb = gacc_ref[:].astype(bf)  # [5+C, 128]
-        gr = [_grel(i, k, tc, S, spg, rays_per_tile) for k in Z]
         gb = [_dot_nt(gaccb, gr[k]) for k in Z]  # [5+C, tc] f32
         g_rgb = [gb[k][0:3] * w[k] for k in Z]
         g_sem = [gb[k][5:] * w[k] for k in Z]
@@ -428,21 +437,18 @@ def _call_fvr_fwd(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws, S):
     nspec = lambda d: pl.BlockSpec(
         (d, t), lambda i: (0, i), memory_space=pltpu.VMEM
     )
+    rayspec = lambda d: pl.BlockSpec(
+        (d, _RAY_BLOCK), lambda i, _spg=spg: (0, i // _spg),
+        memory_space=pltpu.VMEM,
+    )
     ws = list(tws) + list(rws) + list(sws)
     return pl.pallas_call(
         _make_fvr_fwd_kernel(len(tws) // 2, S, spg, rpt, nsp),
         grid=(N // t,),
-        in_specs=[nspec(3), nspec(16), nspec(1), nspec(1)]
+        in_specs=[nspec(3), rayspec(16), nspec(1), nspec(1)]
         + _whole([wspec.shape, phase2d.shape])
         + _whole([w.shape for w in ws]),
-        out_specs=(
-            pl.BlockSpec(
-                (c_out, _RAY_BLOCK),
-                lambda i, _spg=spg: (0, i // _spg),
-                memory_space=pltpu.VMEM,
-            ),
-            nspec(1),
-        ),
+        out_specs=(rayspec(c_out), nspec(1)),
         out_shape=(
             jax.ShapeDtypeStruct((c_out, R), jnp.float32),
             jax.ShapeDtypeStruct((1, N), jnp.float32),
@@ -460,22 +466,19 @@ def _call_fvr_bwd(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws,
     nspec = lambda d: pl.BlockSpec(
         (d, t), lambda i: (0, i), memory_space=pltpu.VMEM
     )
+    rayspec = lambda d: pl.BlockSpec(
+        (d, _RAY_BLOCK), lambda i, _spg=spg: (0, i // _spg),
+        memory_space=pltpu.VMEM,
+    )
     ws = list(tws) + list(rws) + list(sws)
     acc_shapes = [(3, M), (M, 1)] + [w.shape for w in ws]
     return pl.pallas_call(
         _make_fvr_bwd_kernel(len(tws) // 2, S, spg, rpt, nsp),
         grid=(N // t,),
-        in_specs=[nspec(3), nspec(16), nspec(1), nspec(1)]
+        in_specs=[nspec(3), rayspec(16), nspec(1), nspec(1)]
         + _whole([wspec.shape, phase2d.shape])
         + _whole([w.shape for w in ws])
-        + [
-            pl.BlockSpec(
-                (c_out, _RAY_BLOCK),
-                lambda i, _spg=spg: (0, i // _spg),
-                memory_space=pltpu.VMEM,
-            ),
-            nspec(1),
-        ],
+        + [rayspec(c_out), nspec(1)],
         out_specs=(nspec(3),) + tuple(_whole(acc_shapes)),
         out_shape=(jax.ShapeDtypeStruct((3, N), ut.dtype),)
         + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in acc_shapes),
@@ -491,7 +494,7 @@ def fused_field_volrend(
     head: dict,
     sem: dict,
     ut: jnp.ndarray,  # [3, N] unit-cube coords, transposed
-    sht: jnp.ndarray,  # [16, N] SH features, transposed
+    sht: jnp.ndarray,  # [16, R] per-RAY SH features (expanded in-kernel)
     dt: jnp.ndarray,  # [1, N] t1-t0, zeroed on aabb-miss rays
     tm: jnp.ndarray,  # [1, N] midpoint t
     S: int,  # samples per ray (lane-aligned segment size)
