@@ -396,18 +396,29 @@ class ActiveNeRFMapper:
     # phase 1: initialization (pipeline.py:245-352)
     # ------------------------------------------------------------------
 
+    def _snap(self, poses):
+        """Replay-aware pose hook: simulators that serve recorded frames
+        (``sim/replay.py``) cannot render novel views — they expose
+        ``snap_poses`` returning the TRUE camera of the frame each request
+        will receive, and the NeRF must be supervised at that pose.
+        Rendering simulators (Habitat, FakeSim) pass through unchanged."""
+        snap = getattr(self.sim, "snap_poses", None)
+        if snap is None:
+            return [np.asarray(p, dtype=np.float64) for p in poses]
+        return list(snap(poses))
+
     def initialization(self, initial_samples: int = 39):
         cfg = self.cfg
-        poses_quat, poses_mat = [], []
+        poses_quat = []
         g = self.global_origin
         base_yaw = 0.0
         for i in range(initial_samples):
             ang = (base_yaw + 9.0 * i) % 360.0
             pos = g[:3] + self.rng.uniform(-0.2, 0.2, 3)
             quat = _yaw_quat_deg(ang)
-            pose = np.concatenate([pos, quat])
-            poses_quat.append(pose)
-            poses_mat.append(pose_matrix_from_quat(pos, quat))
+            poses_quat.append(np.concatenate([pos, quat]))
+        poses_quat = self._snap(poses_quat)
+        poses_mat = [pose_matrix_from_quat(p[:3], p[3:]) for p in poses_quat]
 
         images, depths, sems = self.sim.sample_images_from_poses(poses_quat)
         for mat, d in zip(poses_mat, depths):
@@ -449,6 +460,7 @@ class ActiveNeRFMapper:
             for quat in cfg.test_quat
         ]
         if test_poses:
+            test_poses = self._snap(test_poses)
             t_imgs, t_deps, t_sems = self.sim.sample_images_from_poses(test_poses)
             t_mats = [pose_matrix_from_quat(p[:3], p[3:]) for p in test_poses]
             self.test_dataset = RayDataset(
@@ -921,6 +933,7 @@ class ActiveNeRFMapper:
         """Fly the chosen trajectory: render observations in the simulator,
         fuse depth scans into the cost map (last 6 views,
         pipeline.py:1115-1138), append to the train dataset."""
+        fly_poses = self._snap(fly_poses)
         images, depths, sems = self.sim.sample_images_from_poses(fly_poses)
         mats = [pose_matrix_from_quat(p[:3], p[3:]) for p in fly_poses]
         for mat, d in zip(mats[-6:], depths[-6:]):
