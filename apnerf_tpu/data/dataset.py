@@ -70,17 +70,21 @@ def fetch_rays(
         local = num_rays // n_shards
         x = jax.lax.dynamic_slice_in_dim(x, shard_idx * local, local)
         y = jax.lax.dynamic_slice_in_dim(y, shard_idx * local, local)
-    # Two-step indexing ON PURPOSE: dynamic_index_in_dim copies the one
-    # H*W image (~0.23 ms/step at 640²), then [y, x] gathers pixels. The
-    # "obvious" fused 3-D gather images[img_idx, y, x] measured ~1 ms/step
-    # SLOWER on the v5e (r4 bench A/B: 0.82x vs 1.55x overall) — XLA
-    # scalarizes gathers whose index arithmetic fuses in
-    # (docs/PERFORMANCE.md "fusion scalarization").
-    img = jax.lax.dynamic_index_in_dim(images, image_idx, keepdims=False)
-    dep = jax.lax.dynamic_index_in_dim(depths, image_idx, keepdims=False)
-    sem = jax.lax.dynamic_index_in_dim(semantics, image_idx, keepdims=False)
+    # Barrier-fenced FLAT pixel gather from the whole pool. The naive
+    # fused 3-D gather images[img_idx, y, x] measured ~1 ms/step SLOWER
+    # on the v5e (XLA scalarizes gathers whose index arithmetic fuses in,
+    # docs/PERFORMANCE.md "fusion scalarization") — but fencing the flat
+    # index on BOTH sides keeps the gather vectorized: 0.655 vs the
+    # two-step image-copy path's 0.937 ms/step (scripts/profile_fetch.py;
+    # the copy alone was ~0.24 ms/step of pure relayout at 640²).
+    flat = image_idx * (H * W) + y * W + x
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    rgb8 = jnp.take(images.reshape(-1, 3), flat, axis=0)
+    dep = jnp.take(depths.reshape(-1), flat, axis=0)
+    sem = jnp.take(semantics.reshape(-1), flat, axis=0)
+    rgb8, dep, sem = jax.lax.optimization_barrier((rgb8, dep, sem))
     c2w = jax.lax.dynamic_index_in_dim(camtoworlds, image_idx, keepdims=False)
-    rgb = img[y, x].astype(jnp.float32) / 255.0
+    rgb = rgb8.astype(jnp.float32) / 255.0
     rays = rays_from_pixels(x, y, c2w, K)
     if training:
         bkgd = jax.random.uniform(k_bkgd, (3,))
@@ -90,8 +94,8 @@ def fetch_rays(
         origins=rays.origins,
         viewdirs=rays.viewdirs,
         pixels=rgb,
-        depth=dep[y, x],
-        sem=sem[y, x].astype(jnp.int32),
+        depth=dep,
+        sem=sem.astype(jnp.int32),
         color_bkgd=bkgd,
     )
 

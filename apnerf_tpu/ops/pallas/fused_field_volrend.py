@@ -69,18 +69,41 @@ from .fused_field_heads import (
     _trunk_weights_t,
     _whole,
 )
-from .fused_mlp import _TWO_PI, _dot, _dot_nt, _dot_tn, _tile, _use_interpret
+from .fused_mlp import _TWO_PI, _dot, _dot_nt, _dot_tn, _use_interpret
 
 # rays per acc output block — one full lane register of per-ray values
 _RAY_BLOCK = 128
 
+# This kernel defaults to a LARGER tile than the plain field kernels
+# (2048 vs fused_mlp's 1024): the r4 sweep measured 2.126x vs 1.974x at
+# production size. Bigger tiles only fit scoped VMEM because the split
+# chains stay 256 columns wide (splits = tile/256) — tile 2048 at 4
+# splits (512-wide chains) exceeds the 16 MB scoped-vmem limit by 56 KB
+# in the backward. Both knobs remain overridable.
+_FVR_TILE = int(
+    os.environ.get(
+        "APNERF_FVR_TILE", os.environ.get("APNERF_FUSED_TILE", "2048")
+    )
+)
+_CHAIN_COLS = 256
+
+
+def _fvr_tile(N: int, S: int) -> int:
+    # a tile may not span more than one 128-ray acc block (the out
+    # blockspec revisits one block for (128*S)//t consecutive steps)
+    t = min(_FVR_TILE, N, _RAY_BLOCK * S)
+    while N % t:
+        t //= 2
+    return max(t, 1)
+
 
 def _clamp_splits(t: int, S: int) -> int:
     """Chains must hold whole rays AND whole lane registers."""
-    n = _n_splits(t)
-    while (t // n) % S and n > 1:
+    env = os.environ.get("APNERF_FUSED_SPLITS")
+    n = int(env) if env else max(t // _CHAIN_COLS, 1)
+    while n > 1 and (t % (n * 128) or (t // n) % S):
         n //= 2
-    return n
+    return max(n, 1)
 
 
 def _lt_mask(tc: int, S: int):
@@ -419,7 +442,7 @@ def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
 def _plan(N: int, S: int):
     """(tile, splits, steps-per-acc-block, rays-per-tile) or None if the
     shapes don't admit the lane-aligned layout."""
-    t = _tile(N)
+    t = _fvr_tile(N, S)
     if t % S or (_RAY_BLOCK * S) % t or (N // S) % _RAY_BLOCK:
         return None
     return t, _clamp_splits(t, S), (_RAY_BLOCK * S) // t, t // S

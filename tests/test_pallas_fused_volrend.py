@@ -187,9 +187,10 @@ def test_supports_fused_volrend_shapes():
     assert supports_fused_volrend(128 * 128, 128)
     assert not supports_fused_volrend(64 * 8, 8)  # 64 rays < one block
     assert not supports_fused_volrend(130 * 8, 8)  # ragged ray count
-    # S=12 doesn't divide the 512 tile (6144 -> tile 1024? 6144%1024=0,
-    # but 128*12=1536 % 1024 != 0)
-    assert not supports_fused_volrend(128 * 12, 12)
+    # one whole 128-ray acc block per tile (128*12 = 1536 = the tile)
+    assert supports_fused_volrend(128 * 12, 12)
+    # 3 ray blocks at S=24: tile halves to 1024, not a multiple of 24
+    assert not supports_fused_volrend(384 * 24, 24)
 
 
 def test_use_packed_volrend_gate(monkeypatch):
