@@ -158,15 +158,21 @@ class ActiveNeRFMapper:
                 )
                 self.state = shard_ensemble_state(self.state, mesh)
         else:
-            if mesh is not None:
-                raise ValueError(
-                    "mesh mode is wired for the flagship path "
-                    "(field_type='spectral', sampler_type='prop') only"
-                )
             self.ngp_cfg = make_ngp_config(cfg)
             self.state = init_ensemble(self._next_key(), cfg)
             self._make_phase = make_train_phase
             self._occ_update_fn = None  # occ path updates in-scan
+            if mesh is not None:
+                # occ path under GSPMD: members over "ens", rays over
+                # "data" (parallel/sharding.make_sharded_occ_phase).
+                # The renderers stay on the plain GSPMD chain (they
+                # consume the occ grid, which the flagship sharded
+                # renderers ignore).
+                from ..parallel.mesh import shard_ensemble_state
+                from ..parallel.sharding import make_sharded_occ_phase
+
+                self._make_phase = partial(make_sharded_occ_phase, mesh=mesh)
+                self.state = shard_ensemble_state(self.state, mesh)
 
         # the active LR schedule — swapped by nerf_training(final_train=True)
         if self.use_prop:
@@ -234,7 +240,7 @@ class ActiveNeRFMapper:
         # render(params, occ, origins [V,P,3], viewdirs, bkgd, key=None)
         # — key seeds the sampler (None → deterministic PRNGKey(0),
         # matching the reference's test-mode rendering).
-        if mesh is not None:
+        if mesh is not None and self.use_prop:
             from ..parallel.sharding import make_sharded_candidate_renderer
 
             r_unc = make_sharded_candidate_renderer(

@@ -42,7 +42,8 @@ def parse_args(argv=None):
     p.add_argument(
         "--mesh", type=str, default=None, metavar="ENS,DATA",
         help="run the active loop multi-chip: an (ens, data) device mesh, "
-        "e.g. --mesh 2,4 on an 8-chip slice (flagship path only)",
+        "e.g. --mesh 2,4 on an 8-chip slice (flagship shard_map phase; "
+        "the ngp+occ parity path runs GSPMD-sharded)",
     )
     return p.parse_args(argv)
 

@@ -20,11 +20,9 @@ from ..train.step import EnsembleState, make_train_step
 from .mesh import batch_sharding, shard_ensemble_state
 
 
-def make_sharded_train_step(
-    cfg: PipelineConfig, mesh: Mesh, schedule=None
-):
-    """Train step with a with_sharding_constraint pinning the [E, R]
-    ray batch to ("ens", "data")."""
+def _ens_data_constraint(mesh: Mesh):
+    """Batch constraint pinning [E, R, ...] leaves to ("ens", "data")
+    and [E]-leading scalars-per-member to ("ens",)."""
     bsh = batch_sharding(mesh)
 
     def constrain(batch):
@@ -39,7 +37,31 @@ def make_sharded_train_step(
             batch,
         )
 
-    return make_train_step(cfg, schedule=schedule, batch_constraint=constrain)
+    return constrain
+
+
+def make_sharded_train_step(
+    cfg: PipelineConfig, mesh: Mesh, schedule=None
+):
+    """Train step with a with_sharding_constraint pinning the [E, R]
+    ray batch to ("ens", "data")."""
+    return make_train_step(
+        cfg, schedule=schedule, batch_constraint=_ens_data_constraint(mesh)
+    )
+
+
+def make_sharded_occ_phase(cfg: PipelineConfig, mesh: Mesh, schedule=None):
+    """Multi-step occ-path phase (hash NGP + occupancy-lattice marching,
+    ``train/phase.py``) with the (ens, data) batch constraint — mesh mode
+    for the reference-parity path. GSPMD shards the ray-dependent chain
+    over ``data`` and all-reduces the hash-table gradients over ICI; the
+    in-scan occupancy EMA (whose sampled cell evaluations are not
+    ray-dependent) stays member-local under P("ens")."""
+    from ..train.phase import make_train_phase
+
+    return make_train_phase(
+        cfg, schedule=schedule, batch_constraint=_ens_data_constraint(mesh)
+    )
 
 
 def make_sharded_flagship_phase(cfg: PipelineConfig, mesh: Mesh, schedule=None):
@@ -48,22 +70,9 @@ def make_sharded_flagship_phase(cfg: PipelineConfig, mesh: Mesh, schedule=None):
     the sharded form of the production train path."""
     from ..train.flagship import make_flagship_train_phase
 
-    bsh = batch_sharding(mesh)
-
-    def constrain(batch):
-        return jax.tree.map(
-            lambda x: (
-                jax.lax.with_sharding_constraint(x, bsh)
-                if x.ndim >= 2
-                else jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, P("ens"))
-                )
-            ),
-            batch,
-        )
-
     return make_flagship_train_phase(
-        cfg, schedule=schedule, batch_constraint=constrain
+        cfg, schedule=schedule,
+        batch_constraint=_ens_data_constraint(mesh),
     )
 
 

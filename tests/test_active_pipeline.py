@@ -255,6 +255,48 @@ def test_mesh_mapper_e2e(tmp_path):
     assert shard_shape[0] == 1
 
 
+def test_mesh_mapper_occ_path(tmp_path):
+    """Mesh mode on the reference-parity path (NGP hash + occ lattice):
+    the sharded occ phase drives train + planning end-to-end on the
+    8-virtual-CPU mesh (closes the r3 'mesh covers flagship only' gap)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from apnerf_tpu.active.mapper import ActiveNeRFMapper
+    from apnerf_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_pipeline_cfg(tmp_path)
+    cfg.field_type = "ngp"
+    cfg.sampler_type = "occ"
+    cfg.planning_step = 1
+    mesh = make_mesh(n_ens=2)
+    sim = FakeSim(aabb=AABB, img_w=cfg.img_w, img_h=cfg.img_h)
+    with jax.set_mesh(mesh):
+        m = ActiveNeRFMapper(
+            cfg, sim, save_path=str(tmp_path / "mesh_occ"), seed=5,
+            eval_scale=0.25, unc_scale=0.15, max_samples_unc=32,
+            checkpoint_every=10_000, mesh=mesh,
+        )
+        m.initialization(initial_samples=4)
+        losses = m.nerf_training(20, initial_train=True, planning_step=-1)
+        assert all(np.isfinite(l) for l in losses)
+        steps = m.planning(1, training_steps_per_step=10)
+        assert steps == 1
+        m.save_artifacts()
+    out = m.save_path
+    for rel in (
+        "errors.npy", "uncertainty.npy", "checkpoints/model_0.npz",
+        "viz/0.png", "maps",
+    ):
+        assert os.path.exists(os.path.join(out, rel)), rel
+    # state stayed ens-sharded through the loop
+    shard_shape = (
+        m.state.params["mlp_base"]["w0"].addressable_shards[0].data.shape
+    )
+    assert shard_shape[0] == 1
+
+
 def test_resume_continues_training(mapper, tmp_path):
     """Kill-and-resume: a freshly constructed mapper that loads the
     checkpoint can keep training (Adam moments intact, loss finite)."""

@@ -112,6 +112,54 @@ def test_dryrun_multichip_entrypoint():
 
 
 @requires_8
+def test_sharded_occ_phase_matches_single_device():
+    """Sharded occ-path phase (hash NGP + lattice march) == unsharded
+    phase, same RNG/data — mesh mode for the reference-parity path."""
+    import __graft_entry__ as g
+    from apnerf_tpu.data.dataset import RayDataset
+    from apnerf_tpu.parallel.sharding import (
+        make_sharded_occ_phase,
+        place_training,
+    )
+    from apnerf_tpu.train.phase import make_train_phase, pools_from_dataset
+    from apnerf_tpu.train.step import init_ensemble
+
+    cfg = g._tiny_cfg(n_ensembles=2)
+    rng = np.random.RandomState(0)
+    ds = RayDataset(
+        training=True, num_rays=cfg.num_rays, num_models=cfg.n_ensembles,
+        width=cfg.img_w, height=cfg.img_h, max_images=cfg.max_images,
+        seed=9,
+    )
+    ds.update_data(
+        (rng.rand(3, cfg.img_h, cfg.img_w, 3) * 255).astype(np.uint8),
+        rng.rand(3, cfg.img_h, cfg.img_w).astype(np.float32),
+        rng.randint(0, cfg.num_semantic_classes, (3, cfg.img_h, cfg.img_w)),
+        np.tile(np.eye(4, dtype=np.float32), (3, 1, 1)),
+    )
+    pools, counts = pools_from_dataset(ds)
+    size = jnp.asarray(ds.size, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    args = (ds.images, ds.depths, ds.semantics, ds.camtoworlds, ds.K,
+            pools, counts, size, keys, jnp.asarray(1e-3), jnp.asarray(False))
+
+    state0 = init_ensemble(jax.random.PRNGKey(0), cfg)
+    _, losses_ref = make_train_phase(cfg)(state0, *args)
+
+    mesh = make_mesh(n_ens=2)
+    state1 = init_ensemble(jax.random.PRNGKey(0), cfg)
+    state1, ds = place_training(state1, ds, mesh)
+    args = (ds.images, ds.depths, ds.semantics, ds.camtoworlds, ds.K,
+            pools, counts, size, keys, jnp.asarray(1e-3), jnp.asarray(False))
+    with jax.set_mesh(mesh):
+        _, losses_sh = make_sharded_occ_phase(cfg, mesh)(state1, *args)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_ref), np.asarray(losses_sh), rtol=1e-4, atol=1e-6
+    )
+
+
+@requires_8
 def test_sharded_flagship_phase_matches_single_device():
     """Sharded flagship phase (spectral + prop) == unsharded phase, same
     RNG/data — sharding is layout, not math."""
