@@ -367,6 +367,75 @@ def use_packed_volrend(
     return supports_fused_volrend(R * S, S)
 
 
+def use_packed_lossgrad(
+    cfg: SpectralConfig, params: dict, R: int, S: int
+) -> bool:
+    """Route the whole train step (render AND loss AND backward) through
+    the combined loss+grad kernel (``ops/pallas/fused_field_volrend.
+    fused_field_volrend_lossgrad``)? Follows the ``use_packed_volrend``
+    gate — the kernel shares its layout plan — and additionally requires
+    semantic classes (the in-kernel CE assumes them).
+    ``APNERF_FUSED_LOSSGRAD=0/1`` forces it off/on (bench ablations)."""
+    if os.environ.get("APNERF_FUSED_LOSSGRAD") == "0":
+        return False
+    return cfg.num_semantic_classes > 0 and use_packed_volrend(
+        cfg, params, R, S
+    )
+
+
+def forward_packed_lossgrad(
+    params: dict,
+    cfg: SpectralConfig,
+    positions: jnp.ndarray,  # [R, S, 3]
+    rays_d: jnp.ndarray,  # [R, 3]
+    t0: jnp.ndarray,  # [R, S]
+    t1: jnp.ndarray,  # [R, S]
+    miss: jnp.ndarray,  # [R] bool
+    pixels: jnp.ndarray,  # [R, 3] rgb targets in [0, 1]
+    depth_gt: jnp.ndarray,  # [R]
+    sem_labels: jnp.ndarray,  # [R] int
+    bkgd,  # [3] background color or None
+    loss_weights=(10.0, 1.0 / 5.0, 1.0 / 2.0),
+):
+    """The ENTIRE train render + loss + backward in ONE kernel pass →
+    (lossrows [3, R] raw per-ray sums, weights [R, S] (detached prop-loss
+    input), grads dict matching ``params``). The fwd kernel disappears
+    from the train step: the backward recomputes every forward value
+    anyway, and because tiles hold whole rays the per-ray loss cotangents
+    (huber rgb/depth, softmax CE — train/flagship.py loss_fn) are
+    computable in-kernel. NOT differentiable — consume the returned
+    grads directly (see make_flagship_member_core)."""
+    from ..ops.pallas.fused_field_volrend import fused_field_volrend_lossgrad
+
+    R, S = positions.shape[0], positions.shape[1]
+    u, _ = _normalize(cfg, positions)
+    ut = u.reshape(-1, 3).T  # [3, N]
+    sht = sh_encode_deg4(rays_d).T  # [16, R]
+    dt = ((t1 - t0) * (~miss)[:, None]).reshape(1, -1)
+    tm = (0.5 * (t0 + t1)).reshape(1, -1)
+    pix = pixels.T.astype(jnp.float32)  # [3, R]
+    dgt = depth_gt.reshape(1, -1).astype(jnp.float32)
+    lab = sem_labels.reshape(1, -1).astype(jnp.float32)
+    bk = (
+        jnp.zeros((3, 1), jnp.float32)
+        if bkgd is None
+        else jnp.asarray(bkgd, jnp.float32).reshape(3, 1)
+    )
+    lossrows, w, (dW, dphase, dbase, dhead, dsem) = (
+        fused_field_volrend_lossgrad(
+            params["W"], params["phase"], params["mlp_base"],
+            params["mlp_head"], params["mlp_sem"], ut, sht,
+            dt.astype(jnp.float32), tm.astype(jnp.float32),
+            pix, dgt, lab, bk, S, loss_weights,
+        )
+    )
+    grads = {
+        "W": dW, "phase": dphase, "mlp_base": dbase,
+        "mlp_head": dhead, "mlp_sem": dsem,
+    }
+    return lossrows, w.reshape(R, S), grads
+
+
 def forward_packed_volrend(
     params: dict,
     cfg: SpectralConfig,

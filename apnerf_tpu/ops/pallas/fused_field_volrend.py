@@ -196,7 +196,7 @@ def _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref, tw, rw, sw,
         sel=sel, shb=shb, mk1=mk1, h1=h1, mk2=mk2, h2=h2,
         mkm1=mkm1, m1=m1, mkm2=mkm2, m2=m2,
         w0b=w0b, wLb=wLb, r0b=r0b, r2b=r2b, r4b=r4b,
-        s0b=s0b, s2b=s2b, s4b=s4b, wsb=wsb,
+        s0b=s0b, s2b=s2b, s4b=s4b, wsb=wsb, tw=tw,
     )
     return fwd
 
@@ -264,6 +264,137 @@ def _make_fvr_fwd_kernel(n_trunk: int, S: int, spg: int,
     return kernel
 
 
+def _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z, dut_ref=None, cols=None):
+    """Shared field backward: from per-sample cotangents {g_rgb, dsig,
+    g_sem} (per-chain [·, tc] lists) through heads + trunk + encode to the
+    flat parameter-gradient list ``v`` consumed by ``_acc_param_grads``.
+    Writes duT per chain when ``dut_ref`` is given (the lossgrad kernel
+    skips it: sampled positions are stop-gradiented upstream, so XLA
+    discards duT there anyway)."""
+    bf = jnp.bfloat16
+    csum = lambda vals: sum(vals[1:], vals[0])
+    raw, sel, geo = f["raw"], f["sel"], f["geo"]
+    rgb, mask, h = f["rgb"], f["mask"], f["h"]
+    gsem_b = [gs.astype(bf) for gs in g_sem]
+    s4b, s2b, s0b = f["s4b"], f["s2b"], f["s0b"]
+    gm2 = [(_dot(s4b, gsem_b[k]) * f["mkm2"][k]).astype(bf) for k in Z]
+    gm1 = [(_dot(s2b, gm2[k]) * f["mkm1"][k]).astype(bf) for k in Z]
+    g_geo_sem = [_dot(s0b, gm) for gm in gm1]
+
+    r4b, r2b, r0b = f["r4b"], f["r2b"], f["r0b"]
+    grgb_pre = [g_rgb[k] * rgb[k] * (1.0 - rgb[k]) for k in Z]
+    gp_b = [gp.astype(bf) for gp in grgb_pre]
+    gh2 = [(_dot(r4b, gp_b[k]) * f["mk2"][k]).astype(bf) for k in Z]
+    gh1 = [(_dot(r2b, gh2[k]) * f["mk1"][k]).astype(bf) for k in Z]
+    g_geo_rgb = [_dot(r0b[16:], gh) for gh in gh1]
+
+    graw = [
+        dsig[k] * jnp.exp(jnp.minimum(raw[k] - 1.0, 15.0)) * sel[k]
+        for k in Z
+    ]
+    g_geo = [g_geo_sem[k] + g_geo_rgb[k] for k in Z]
+    graw_b = [g.astype(bf) for g in graw]
+    ggeo_b = [g.astype(bf) for g in g_geo]
+    wLb, w0b, wsb = f["wLb"], f["w0b"], f["wsb"]
+    gh = [
+        (
+            (_dot_tn(wLb[0:1], graw_b[k]) + _dot_tn(wLb[1:], ggeo_b[k]))
+            * mask[k][LT - 2]
+        ).astype(bf)
+        for k in Z
+    ]
+    mid = []
+    for li in range(LT - 2, 0, -1):
+        mid.append(csum([_dot_nt(h[k][li - 1], gh[k]) for k in Z]))
+        mid.append(csum([_sum_lanes(gh[k]) for k in Z]))
+        wib = f["tw"][2 * li][:].astype(bf)
+        gh = [(_dot(wib, gh[k]) * mask[k][li - 1]).astype(bf)
+              for k in Z]
+    M = f["M"]
+    cb, sb, utb = f["cb"], f["sb"], f["utb"]
+    g_cos = [_dot(w0b[:M], ghk) for ghk in gh]
+    g_sin = [_dot(w0b[M:], ghk) for ghk in gh]
+    dproj = [cb[k] * g_sin[k] - sb[k] * g_cos[k] for k in Z]
+    dpb = [dp.astype(bf) for dp in dproj]
+    if dut_ref is not None:
+        for k in Z:
+            dut_ref[:, cols[k]] = (_dot(wsb, dpb[k]) * _TWO_PI).astype(
+                dut_ref.dtype
+            )
+    shb, h1, h2 = f["shb"], f["h1"], f["h2"]
+    m1, m2 = f["m1"], f["m2"]
+    return [
+        csum([_dot_nt(utb[k], dpb[k]) for k in Z]) * _TWO_PI,
+        csum([_sum_lanes(dproj[k]) for k in Z]),
+        csum([_dot_nt(cb[k], gh[k]) for k in Z]),
+        csum([_dot_nt(sb[k], gh[k]) for k in Z]),
+        csum([_sum_lanes(gh[k]) for k in Z]),
+        *mid,
+        csum([_dot_nt(graw_b[k], h[k][-1]) for k in Z]),
+        csum([_dot_nt(ggeo_b[k], h[k][-1]) for k in Z]),
+        csum([_sum_lanes(graw[k]) for k in Z]),
+        csum([_sum_lanes(g_geo[k]) for k in Z]),
+        csum([_dot_nt(shb[k], gh1[k]) for k in Z]),
+        csum([_dot_nt(geo[k], gh1[k]) for k in Z]),
+        csum([_sum_lanes(gh1[k]) for k in Z]),
+        csum([_dot_nt(h1[k], gh2[k]) for k in Z]),
+        csum([_sum_lanes(gh2[k]) for k in Z]),
+        csum([_dot_nt(h2[k], gp_b[k]) for k in Z]),
+        csum([_sum_lanes(grgb_pre[k]) for k in Z]),
+        csum([_dot_nt(geo[k], gm1[k]) for k in Z]),
+        csum([_sum_lanes(gm1[k]) for k in Z]),
+        csum([_dot_nt(m1[k], gm2[k]) for k in Z]),
+        csum([_sum_lanes(gm2[k]) for k in Z]),
+        csum([_dot_nt(m2[k], gsem_b[k]) for k in Z]),
+        csum([_sum_lanes(g_sem[k]) for k in Z]),
+    ]
+
+
+def _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, drw, dsw, v,
+                     LT, Mspec):
+    """Accumulate the ``_field_bwd_v`` list into the revisited VMEM
+    parameter-gradient outputs (zeroed on the first grid step)."""
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = jnp.zeros_like(ref)
+
+        ref[...] += val
+
+    def acc_split(ref, row_splits, vals):
+        @pl.when(first)
+        def _():
+            ref[...] = jnp.zeros_like(ref)
+
+        for rows, val in zip(row_splits, vals):
+            ref[rows] += val
+
+    acc(dwspec_ref, v[0])
+    acc(dphase_ref, v[1])
+    acc_split(dtw[0], (slice(0, Mspec), slice(Mspec, None)),
+              (v[2], v[3]))
+    acc(dtw[1], v[4])
+    p = 5
+    for li in range(LT - 2, 0, -1):
+        acc(dtw[2 * li], v[p])
+        acc(dtw[2 * li + 1], v[p + 1])
+        p += 2
+    acc_split(dtw[2 * (LT - 1)], (slice(0, 1), slice(1, None)),
+              (v[p], v[p + 1]))
+    acc_split(dtw[2 * LT - 1], (slice(0, 1), slice(1, None)),
+              (v[p + 2], v[p + 3]))
+    acc_split(drw[0], (slice(0, 16), slice(16, None)),
+              (v[p + 4], v[p + 5]))
+    acc(drw[1], v[p + 6])
+    acc(drw[2], v[p + 7])
+    acc(drw[3], v[p + 8])
+    acc(drw[4], v[p + 9])
+    acc(drw[5], v[p + 10])
+    for j in range(6):
+        acc(dsw[j], v[p + 11 + j])
+
+
 def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
                          rays_per_tile: int, n_splits: int):
     LT = n_trunk
@@ -287,7 +418,6 @@ def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
         t = ut_ref.shape[1]
         tc = t // n_splits
         Z = range(n_splits)
-        csum = lambda vals: sum(vals[1:], vals[0])
         cols = [slice(k * tc, (k + 1) * tc) for k in Z]
         gr = [_grel(i, k, tc, S, spg, rays_per_tile) for k in Z]
         shtb = sht_ref[:].astype(bf)
@@ -321,128 +451,25 @@ def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
 
         # ---- field backward (fused_field_heads bwd with the packed
         # per-sample cotangent replaced by {g_rgb, dsig, g_sem})
-        raw, sel, geo = f["raw"], f["sel"], f["geo"]
-        rgb, mask, h = f["rgb"], f["mask"], f["h"]
-        gsem_b = [gs.astype(bf) for gs in g_sem]
-        s4b, s2b, s0b = f["s4b"], f["s2b"], f["s0b"]
-        gm2 = [(_dot(s4b, gsem_b[k]) * f["mkm2"][k]).astype(bf) for k in Z]
-        gm1 = [(_dot(s2b, gm2[k]) * f["mkm1"][k]).astype(bf) for k in Z]
-        g_geo_sem = [_dot(s0b, gm) for gm in gm1]
-
-        r4b, r2b, r0b = f["r4b"], f["r2b"], f["r0b"]
-        grgb_pre = [g_rgb[k] * rgb[k] * (1.0 - rgb[k]) for k in Z]
-        gp_b = [gp.astype(bf) for gp in grgb_pre]
-        gh2 = [(_dot(r4b, gp_b[k]) * f["mk2"][k]).astype(bf) for k in Z]
-        gh1 = [(_dot(r2b, gh2[k]) * f["mk1"][k]).astype(bf) for k in Z]
-        g_geo_rgb = [_dot(r0b[16:], gh) for gh in gh1]
-
-        graw = [
-            dsig[k] * jnp.exp(jnp.minimum(raw[k] - 1.0, 15.0)) * sel[k]
-            for k in Z
-        ]
-        g_geo = [g_geo_sem[k] + g_geo_rgb[k] for k in Z]
-        graw_b = [g.astype(bf) for g in graw]
-        ggeo_b = [g.astype(bf) for g in g_geo]
-        wLb, w0b, wsb = f["wLb"], f["w0b"], f["wsb"]
-        gh = [
-            (
-                (_dot_tn(wLb[0:1], graw_b[k]) + _dot_tn(wLb[1:], ggeo_b[k]))
-                * mask[k][LT - 2]
-            ).astype(bf)
-            for k in Z
-        ]
-        mid = []
-        for li in range(LT - 2, 0, -1):
-            mid.append(csum([_dot_nt(h[k][li - 1], gh[k]) for k in Z]))
-            mid.append(csum([_sum_lanes(gh[k]) for k in Z]))
-            wib = tw[2 * li][:].astype(bf)
-            gh = [(_dot(wib, gh[k]) * mask[k][li - 1]).astype(bf)
-                  for k in Z]
-        M = f["M"]
-        cb, sb, utb = f["cb"], f["sb"], f["utb"]
-        g_cos = [_dot(w0b[:M], ghk) for ghk in gh]
-        g_sin = [_dot(w0b[M:], ghk) for ghk in gh]
-        dproj = [cb[k] * g_sin[k] - sb[k] * g_cos[k] for k in Z]
-        dpb = [dp.astype(bf) for dp in dproj]
-        for k in Z:
-            dut_ref[:, cols[k]] = (_dot(wsb, dpb[k]) * _TWO_PI).astype(
-                dut_ref.dtype
-            )
-        shb, h1, h2 = f["shb"], f["h1"], f["h2"]
-        m1, m2 = f["m1"], f["m2"]
-        v = [
-            csum([_dot_nt(utb[k], dpb[k]) for k in Z]) * _TWO_PI,
-            csum([_sum_lanes(dproj[k]) for k in Z]),
-            csum([_dot_nt(cb[k], gh[k]) for k in Z]),
-            csum([_dot_nt(sb[k], gh[k]) for k in Z]),
-            csum([_sum_lanes(gh[k]) for k in Z]),
-            *mid,
-            csum([_dot_nt(graw_b[k], h[k][-1]) for k in Z]),
-            csum([_dot_nt(ggeo_b[k], h[k][-1]) for k in Z]),
-            csum([_sum_lanes(graw[k]) for k in Z]),
-            csum([_sum_lanes(g_geo[k]) for k in Z]),
-            csum([_dot_nt(shb[k], gh1[k]) for k in Z]),
-            csum([_dot_nt(geo[k], gh1[k]) for k in Z]),
-            csum([_sum_lanes(gh1[k]) for k in Z]),
-            csum([_dot_nt(h1[k], gh2[k]) for k in Z]),
-            csum([_sum_lanes(gh2[k]) for k in Z]),
-            csum([_dot_nt(h2[k], gp_b[k]) for k in Z]),
-            csum([_sum_lanes(grgb_pre[k]) for k in Z]),
-            csum([_dot_nt(geo[k], gm1[k]) for k in Z]),
-            csum([_sum_lanes(gm1[k]) for k in Z]),
-            csum([_dot_nt(m1[k], gm2[k]) for k in Z]),
-            csum([_sum_lanes(gm2[k]) for k in Z]),
-            csum([_dot_nt(m2[k], gsem_b[k]) for k in Z]),
-            csum([_sum_lanes(g_sem[k]) for k in Z]),
-        ]
-
-        def acc(ref, val):
-            @pl.when(first)
-            def _():
-                ref[...] = jnp.zeros_like(ref)
-
-            ref[...] += val
-
-        def acc_split(ref, row_splits, vals):
-            @pl.when(first)
-            def _():
-                ref[...] = jnp.zeros_like(ref)
-
-            for rows, val in zip(row_splits, vals):
-                ref[rows] += val
-
-        Mspec = wspec_ref.shape[1]
-        acc(dwspec_ref, v[0])
-        acc(dphase_ref, v[1])
-        acc_split(dtw[0], (slice(0, Mspec), slice(Mspec, None)),
-                  (v[2], v[3]))
-        acc(dtw[1], v[4])
-        p = 5
-        for li in range(LT - 2, 0, -1):
-            acc(dtw[2 * li], v[p])
-            acc(dtw[2 * li + 1], v[p + 1])
-            p += 2
-        acc_split(dtw[2 * (LT - 1)], (slice(0, 1), slice(1, None)),
-                  (v[p], v[p + 1]))
-        acc_split(dtw[2 * LT - 1], (slice(0, 1), slice(1, None)),
-                  (v[p + 2], v[p + 3]))
-        acc_split(drw[0], (slice(0, 16), slice(16, None)),
-                  (v[p + 4], v[p + 5]))
-        acc(drw[1], v[p + 6])
-        acc(drw[2], v[p + 7])
-        acc(drw[3], v[p + 8])
-        acc(drw[4], v[p + 9])
-        acc(drw[5], v[p + 10])
-        for j in range(6):
-            acc(dsw[j], v[p + 11 + j])
+        v = _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z,
+                         dut_ref=dut_ref, cols=cols)
+        _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, drw, dsw,
+                         v, LT, wspec_ref.shape[1])
 
     return kernel
 
 
-def _plan(N: int, S: int):
+def _plan(N: int, S: int, max_tile: int = None):
     """(tile, splits, steps-per-acc-block, rays-per-tile) or None if the
-    shapes don't admit the lane-aligned layout."""
+    shapes don't admit the lane-aligned layout. ``max_tile`` caps the
+    tile below the module default (the combined loss+grad kernel holds
+    the forward products AND the backward preacts live simultaneously,
+    so its scoped-VMEM frontier sits one tile size lower)."""
     t = _fvr_tile(N, S)
+    if max_tile is not None:
+        t = min(t, max_tile)
+        while N % t:
+            t //= 2
     if t % S or (_RAY_BLOCK * S) % t or (N // S) % _RAY_BLOCK:
         return None
     return t, _clamp_splits(t, S), (_RAY_BLOCK * S) // t, t // S
@@ -559,3 +586,249 @@ def _fvr_bwd(S, res, g):
 
 
 fused_field_volrend.defvjp(_fvr_fwd, _fvr_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Combined loss+grad kernel: fwd + bwd of the WHOLE train render in ONE pass
+# ---------------------------------------------------------------------------
+#
+# The train step's fwd kernel is pure redundancy: the bwd kernel recomputes
+# every forward value anyway (r4 trace: fwd 3.27 + bwd 6.60 ms/step). And
+# because tiles hold WHOLE rays (S divides the tile), each ray's volume-
+# rendering accumulation completes inside the one tile that contains it —
+# so the per-ray LOSS COTANGENTS are computable in-kernel, per tile, and
+# the separate forward pass disappears. The reference's train step is
+# fwd+bwd through torch autograd over many CUDA kernels
+# (`/root/reference/scripts/pipeline.py:455-532`); this is the whole thing
+# as one fused program. The loss matches train/flagship.py's 3-term form
+# exactly: w_rgb*mean(huber(rgb,pix)) + w_dep*mean(huber(depth,dgt)) +
+# w_sem*mean(softmax-CE(sem_acc, labels)), with rgb = acc + bkgd*(1-op)
+# and depth = depth_num / clip(op, f32 eps). Outputs: per-ray loss rows
+# (raw sums, for reporting), the weights row (prop_loss consumes it
+# DETACHED, so it carries no cotangent), and every parameter gradient.
+# duT is skipped entirely: sampled positions are stop-gradiented upstream
+# (render/prop_renderer.py), so autodiff discarded it anyway.
+
+_F32_EPS = float(jnp.finfo(jnp.float32).eps)
+
+# The combined kernel's scoped-VMEM frontier is one tile size below the
+# split kernels' (it keeps the forward's head outputs AND the backward's
+# preacts live together): tile 2048 at 8 chains compiles the split bwd
+# at 15.9 MB but puts this kernel 5.3 MB over the 16 MB limit.
+_LG_TILE = int(os.environ.get("APNERF_LG_TILE", "1024"))
+
+
+def _make_fvr_lossgrad_kernel(n_trunk: int, S: int, spg: int,
+                              rays_per_tile: int, n_splits: int,
+                              c_rgb: float, c_dep: float, c_sem: float):
+    LT = n_trunk
+
+    def kernel(ut_ref, sht_ref, dt_ref, tm_ref, wspec_ref, phase_ref,
+               *refs):
+        tw = refs[: 2 * LT]
+        rw = refs[2 * LT : 2 * LT + 6]
+        sw = refs[2 * LT + 6 : 2 * LT + 12]
+        pix_ref = refs[2 * LT + 12]    # [3, 128] per-ray rgb targets
+        dgt_ref = refs[2 * LT + 13]    # [1, 128] depth targets
+        lab_ref = refs[2 * LT + 14]    # [1, 128] f32 semantic labels
+        bkgd_ref = refs[2 * LT + 15]   # [3, 1] background color
+        w_ref = refs[2 * LT + 16]      # out: weights [1, N]
+        lrows_ref = refs[2 * LT + 17]  # out: per-ray loss rows [3, 128]
+        dwspec_ref = refs[2 * LT + 18]
+        dphase_ref = refs[2 * LT + 19]
+        dtw = refs[2 * LT + 20 : 4 * LT + 20]
+        drw = refs[4 * LT + 20 : 4 * LT + 26]
+        dsw = refs[4 * LT + 26 : 4 * LT + 32]
+        bf = jnp.bfloat16
+        i = pl.program_id(0)
+        first = i == 0
+        t = ut_ref.shape[1]
+        tc = t // n_splits
+        Z = range(n_splits)
+        csum = lambda vals: sum(vals[1:], vals[0])
+        cols = [slice(k * tc, (k + 1) * tc) for k in Z]
+        gr = [_grel(i, k, tc, S, spg, rays_per_tile) for k in Z]
+        shtb = sht_ref[:].astype(bf)
+        shb_in = [_dot_nt(shtb, gr[k]).astype(bf) for k in Z]
+        f = _field_fwd_chains(ut_ref, shb_in, wspec_ref, phase_ref,
+                              tw, rw, sw, cols, with_preacts=True)
+        ltm = _lt_mask(tc, S)
+        a, Tr, _, w = _volrend_chains(f["sigma"], dt_ref, cols, ltm)
+        for k in Z:
+            w_ref[:, cols[k]] = w[k]
+
+        # ---- per-ray accumulations for THIS tile's rays (each ray's S
+        # samples live entirely inside one tile, so these are the final
+        # acc values — same bf16-product/f32-sum rounding as the fwd
+        # kernel's revisited acc block)
+        wb = [w[k].astype(bf) for k in Z]
+        rgbc = csum([_dot((f["rgb"][k] * w[k]).astype(bf), gr[k])
+                     for k in Z])                                  # [3,128]
+        opc = csum([_dot(wb[k], gr[k]) for k in Z])                # [1,128]
+        depc = csum([_dot((w[k] * tm_ref[:, cols[k]]).astype(bf), gr[k])
+                     for k in Z])                                  # [1,128]
+        semc = csum([_dot((f["sem"][k] * w[k]).astype(bf), gr[k])
+                     for k in Z])                                  # [C,128]
+
+        # this tile covers ray columns [base, base+rays_per_tile) of the
+        # 128-ray acc block — mask everything ray-local to them
+        base = (i % spg) * rays_per_tile
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, _RAY_BLOCK), 1)
+        inblk = ((jj >= base) & (jj < base + rays_per_tile)).astype(
+            jnp.float32
+        )
+
+        # ---- loss + cotangents (train/flagship.py loss_fn, per ray)
+        bk = bkgd_ref[:]                                   # [3, 1]
+        rgb_full = rgbc + bk * (1.0 - opc)
+        res = rgb_full - pix_ref[:]
+        ares = jnp.abs(res)
+        hubp = jnp.clip(res, -1.0, 1.0)                    # huber', δ=1
+        l_rgb = jnp.sum(
+            jnp.where(ares <= 1.0, 0.5 * res * res, ares - 0.5),
+            axis=0, keepdims=True,
+        )
+        opc_e = jnp.maximum(opc, _F32_EPS)
+        depth = depc / opc_e
+        dres = depth - dgt_ref[:]
+        adres = jnp.abs(dres)
+        hubd = jnp.clip(dres, -1.0, 1.0)
+        l_dep = jnp.where(adres <= 1.0, 0.5 * dres * dres, adres - 0.5)
+        mx = jnp.max(semc, axis=0, keepdims=True)
+        ex = jnp.exp(semc - mx)
+        Zs = jnp.sum(ex, axis=0, keepdims=True)
+        C = semc.shape[0]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (C, _RAY_BLOCK), 0)
+        onehot = (rr.astype(jnp.float32) == lab_ref[:]).astype(jnp.float32)
+        l_sem = (mx + jnp.log(Zs)
+                 - jnp.sum(semc * onehot, axis=0, keepdims=True))
+
+        @pl.when(i % spg == 0)
+        def _():
+            lrows_ref[...] = jnp.zeros_like(lrows_ref)
+
+        lrows_ref[0:1] += l_rgb * inblk
+        lrows_ref[1:2] += l_dep * inblk
+        lrows_ref[2:3] += l_sem * inblk
+
+        # cotangents w.r.t. the acc channels (mean norms + loss weights
+        # baked into c_*); masked to this tile's rays
+        g_rgbacc = (c_rgb * hubp) * inblk
+        g_opacc = (
+            c_rgb * jnp.sum(hubp * (-bk), axis=0, keepdims=True)
+            + c_dep * hubd * (-depc) / (opc_e * opc_e)
+            * (opc > _F32_EPS).astype(jnp.float32)
+        ) * inblk
+        g_dnacc = (c_dep * hubd / opc_e) * inblk
+        g_semacc = (c_sem * (ex / Zs - onehot)) * inblk
+
+        # broadcast back over lanes (same bf16 rounding class as the
+        # split bwd kernel, which casts the incoming f32 g_acc to bf16)
+        grgbb = g_rgbacc.astype(bf)
+        gopb = g_opacc.astype(bf)
+        gdnb = g_dnacc.astype(bf)
+        gsemb = g_semacc.astype(bf)
+        g_rgb_col = [_dot_nt(grgbb, gr[k]) for k in Z]     # [3, tc] f32
+        gop_col = [_dot_nt(gopb, gr[k]) for k in Z]
+        gdn_col = [_dot_nt(gdnb, gr[k]) for k in Z]
+        gsem_col = [_dot_nt(gsemb, gr[k]) for k in Z]      # [C, tc]
+
+        g_rgb = [g_rgb_col[k] * w[k] for k in Z]
+        g_sem = [gsem_col[k] * w[k] for k in Z]
+        # d(loss)/d(w_s): direct acc terms only (the weights output feeds
+        # prop_loss DETACHED — zero cotangent by construction)
+        dw = [
+            jnp.sum(f["rgb"][k] * g_rgb_col[k], axis=0, keepdims=True)
+            + gop_col[k]
+            + tm_ref[:, cols[k]] * gdn_col[k]
+            + jnp.sum(f["sem"][k] * gsem_col[k], axis=0, keepdims=True)
+            for k in Z
+        ]
+        da = [
+            dw[k] * Tr[k] * jnp.exp(-a[k]) - _dot_nt(dw[k] * w[k], ltm)
+            for k in Z
+        ]
+        dsig = [da[k] * dt_ref[:, cols[k]] for k in Z]
+
+        v = _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z)
+        _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, drw, dsw,
+                         v, LT, wspec_ref.shape[1])
+
+    return kernel
+
+
+def _call_fvr_lossgrad(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws,
+                       pix, dgt, lab, bkgd, S, loss_weights):
+    N = ut.shape[1]
+    M = wspec.shape[1]
+    R = N // S
+    t, nsp, spg, rpt = _plan(N, S, max_tile=_LG_TILE)
+    w_rgb, w_dep, w_sem = loss_weights
+    kern = _make_fvr_lossgrad_kernel(
+        len(tws) // 2, S, spg, rpt, nsp,
+        c_rgb=w_rgb / (3.0 * R), c_dep=w_dep / R, c_sem=w_sem / R,
+    )
+    nspec = lambda d: pl.BlockSpec(
+        (d, t), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    rayspec = lambda d: pl.BlockSpec(
+        (d, _RAY_BLOCK), lambda i, _spg=spg: (0, i // _spg),
+        memory_space=pltpu.VMEM,
+    )
+    ws = list(tws) + list(rws) + list(sws)
+    acc_shapes = [(3, M), (M, 1)] + [w.shape for w in ws]
+    return pl.pallas_call(
+        kern,
+        grid=(N // t,),
+        in_specs=[nspec(3), rayspec(16), nspec(1), nspec(1)]
+        + _whole([wspec.shape, phase2d.shape])
+        + _whole([w.shape for w in ws])
+        + [rayspec(3), rayspec(1), rayspec(1)]
+        + _whole([bkgd.shape]),
+        out_specs=(nspec(1), rayspec(3)) + tuple(_whole(acc_shapes)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+        )
+        + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in acc_shapes),
+        interpret=_use_interpret(),
+    )(ut, sht, dt, tm, wspec, phase2d, *ws, pix, dgt, lab, bkgd)
+
+
+def fused_field_volrend_lossgrad(
+    W_spec: jnp.ndarray,  # [3, M]
+    phase: jnp.ndarray,  # [M]
+    base: dict,
+    head: dict,
+    sem: dict,
+    ut: jnp.ndarray,  # [3, N]
+    sht: jnp.ndarray,  # [16, R]
+    dt: jnp.ndarray,  # [1, N]
+    tm: jnp.ndarray,  # [1, N]
+    pix: jnp.ndarray,  # [3, R] rgb targets
+    dgt: jnp.ndarray,  # [1, R] depth targets
+    lab: jnp.ndarray,  # [1, R] f32 semantic labels
+    bkgd: jnp.ndarray,  # [3, 1]
+    S: int,
+    loss_weights=(10.0, 1.0 / 5.0, 1.0 / 2.0),
+):
+    """→ (lossrows [3, R] raw per-ray sums (rgb-huber Σ over channels,
+    depth-huber, semantic CE), weights [1, N], grads tuple
+    (dW_spec, dphase, dbase, dhead, dsem)) — the ENTIRE train render
+    fwd+bwd in one Pallas pass. NOT differentiable (it returns the
+    gradients of the fixed ``loss_weights`` combination directly); see
+    train/flagship.py for the member core that consumes it."""
+    tws = _trunk_weights_t(base)
+    outs = _call_fvr_lossgrad(
+        ut, sht, dt, tm, W_spec, phase.reshape(-1, 1),
+        tws, _head_weights_t(head), _head_weights_t(sem),
+        pix, dgt, lab, bkgd, S, loss_weights,
+    )
+    w, lossrows = outs[0], outs[1]
+    dW = outs[2].astype(W_spec.dtype)
+    dphase = outs[3].reshape(-1).astype(phase.dtype)
+    nt = len(tws)
+    dbase = _mlp_grads_from_flat(base, outs[4 : 4 + nt], True)
+    dhead = _mlp_grads_from_flat(head, outs[4 + nt : 10 + nt], False)
+    dsem = _mlp_grads_from_flat(sem, outs[10 + nt : 16 + nt], False)
+    return lossrows, w, (dW, dphase, dbase, dhead, dsem)

@@ -46,6 +46,58 @@ def _render_weights(t0, t1, sigmas):
     return w
 
 
+def prop_sample_intervals(
+    prop_density_fn: Callable,  # (positions [R,Sp,3]) -> sigma [R,Sp,1]
+    rays_o: jnp.ndarray,  # [R, 3]
+    rays_d: jnp.ndarray,  # [R, 3]
+    aabb: jnp.ndarray,  # [6]
+    key: jax.Array,
+    num_samples: int,
+    num_prop_samples: int = 64,
+    near_plane: float = 0.1,
+    far_plane: float = 1e10,
+    stratified: bool = True,
+    sampling_type: str = "uniform",
+):
+    """Front half of ``render_rays_prop``: aabb clip + one proposal round.
+
+    Returns (t0, t1, t_mid, pos, miss, levels). t0/t1 are detached, as
+    nerfacc's estimator samples under no_grad (``prop_net.py:61-134``);
+    the proposal net learns only through ``prop_loss`` over ``levels``.
+    Shared by the renderer and the fused loss+grad train path
+    (``train/flagship.py``)."""
+    t_min, t_max = ray_aabb_intersect(
+        rays_o, rays_d, aabb, near_plane=near_plane, far_plane=far_plane
+    )
+    miss = t_min >= t_max
+    t_lo = jnp.where(miss, near_plane, jnp.maximum(t_min, near_plane))
+    t_hi = jnp.where(miss, near_plane * (1 + 1e-4), t_max)
+
+    def prop_sigma_fn(t0, t1):
+        t_mid = 0.5 * (t0 + t1)
+        pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+        return prop_density_fn(pos)[..., 0]
+
+    t0, t1, levels = propnet_sampling(
+        key,
+        [prop_sigma_fn],
+        [num_prop_samples],
+        num_samples,
+        rays_o,
+        rays_d,
+        near_plane=t_lo,
+        far_plane=t_hi,
+        sampling_type=sampling_type,
+        stratified=stratified,
+        use_onehot=True,
+    )
+    t0 = jax.lax.stop_gradient(t0)
+    t1 = jax.lax.stop_gradient(t1)
+    t_mid = 0.5 * (t0 + t1)
+    pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    return t0, t1, t_mid, pos, miss, levels
+
+
 def render_rays_prop(
     field_fn: Callable,  # (positions [R,S,3], dirs [R,S,3]) -> (rgb, sigma[, sem])
     prop_density_fn: Callable,  # (positions [R,Sp,3]) -> sigma [R,Sp,1]
@@ -84,40 +136,12 @@ def render_rays_prop(
     oracle-tested in tests/test_pallas_fused_field.py).
     """
     R = rays_o.shape[0]
-    t_min, t_max = ray_aabb_intersect(
-        rays_o, rays_d, aabb, near_plane=near_plane, far_plane=far_plane
+    t0, t1, t_mid, pos, miss, levels = prop_sample_intervals(
+        prop_density_fn, rays_o, rays_d, aabb, key,
+        num_samples=num_samples, num_prop_samples=num_prop_samples,
+        near_plane=near_plane, far_plane=far_plane,
+        stratified=stratified, sampling_type=sampling_type,
     )
-    miss = t_min >= t_max
-    t_lo = jnp.where(miss, near_plane, jnp.maximum(t_min, near_plane))
-    t_hi = jnp.where(miss, near_plane * (1 + 1e-4), t_max)
-
-    def prop_sigma_fn(t0, t1):
-        t_mid = 0.5 * (t0 + t1)
-        pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
-        return prop_density_fn(pos)[..., 0]
-
-    t0, t1, levels = propnet_sampling(
-        key,
-        [prop_sigma_fn],
-        [num_prop_samples],
-        num_samples,
-        rays_o,
-        rays_d,
-        near_plane=t_lo,
-        far_plane=t_hi,
-        sampling_type=sampling_type,
-        stratified=stratified,
-        use_onehot=True,
-    )
-    # Detach the sampled intervals, as nerfacc does (its estimator samples
-    # under torch.no_grad, prop_net.py:61-134): the proposal net learns
-    # only through prop_loss, and the main backward pass skips the
-    # d(positions)->d(spectrum) subgraph entirely.
-    t0 = jax.lax.stop_gradient(t0)
-    t1 = jax.lax.stop_gradient(t1)
-
-    t_mid = 0.5 * (t0 + t1)
-    pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
 
     if field_packed_vr_fn is not None and not with_variance:
         # fused field+volrend kernel: per-sample field values never leave

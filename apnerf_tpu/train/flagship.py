@@ -115,6 +115,60 @@ def make_flagship_member_core(
     opt = make_optimizer(cfg, schedule or default_spectral_schedule(cfg))
     aabb = jnp.asarray(cfg.aabb, dtype=jnp.float32)
 
+    def _fused_loss_and_grads(params, batch, k_samp):
+        """Combined-kernel train step: sampling forward, then ONE Pallas
+        pass for render+loss+backward (``spectral.forward_packed_lossgrad``
+        — the r4 trace showed the separate fwd kernel was pure recompute,
+        3.27 ms/step). Proposal-net grads flow only through the
+        mipnerf360 matching loss over level-0 weights (exactly the
+        autodiff path: final t's are detached, final weights detached in
+        prop_loss), and level-0 edges are prop-param-independent — so the
+        level weights are recomputed differentiably at the fixed edges."""
+        from ..models.propnet import prop_loss
+        from ..ops.volrend import render_weight_from_density
+        from ..render.prop_renderer import prop_sample_intervals
+
+        t0, t1, _, pos, miss, levels = prop_sample_intervals(
+            lambda p_: spectral.query_density_field(
+                params["prop"], p_cfg, p_
+            ),
+            batch.origins, batch.viewdirs, aabb, k_samp,
+            num_samples=cfg.max_samples_train,
+            num_prop_samples=cfg.num_prop_samples,
+            near_plane=cfg.near_plane, stratified=True,
+        )
+        lossrows, weights, main_grads = spectral.forward_packed_lossgrad(
+            params["main"], s_cfg, pos, batch.viewdirs, t0, t1, miss,
+            batch.pixels, batch.depth, batch.sem, batch.color_bkgd,
+        )
+        R = batch.origins.shape[0]
+        l_rgb = jnp.sum(lossrows[0]) / (3.0 * R)
+        l_dep = jnp.sum(lossrows[1]) / R
+        l_sem = jnp.sum(lossrows[2]) / R
+        t_edges0, _ = levels[0]
+        te0, te1 = t_edges0[..., :-1], t_edges0[..., 1:]
+        tm0 = 0.5 * (te0 + te1)
+        pos0 = (
+            batch.origins[:, None, :]
+            + tm0[..., None] * batch.viewdirs[:, None, :]
+        )
+
+        def plfn(pp):
+            sig = spectral.query_density_field(pp, p_cfg, pos0)[..., 0]
+            wp, _, _ = render_weight_from_density(te0, te1, sig)
+            return prop_loss(
+                [(t_edges0, wp)], t0, t1, weights, use_onehot=True
+            )
+
+        p_loss, prop_grads = jax.value_and_grad(plfn)(params["prop"])
+        loss = (
+            l_rgb * 10.0 + l_dep / 5.0 + l_sem / 2.0
+            + cfg.prop_loss_weight * p_loss
+        )
+        n_samples = jnp.sum(~miss) * cfg.max_samples_train
+        grads = {"main": main_grads, "prop": prop_grads}
+        return loss, (l_rgb, l_dep, l_sem, n_samples), grads
+
     def member_core(params, opt_state, occ, batch, k_occ, step, occ_thre):
         # The occupancy grid is NOT updated in the scan body: the flagship
         # sampler never reads it (proposal sampling), only the planner
@@ -125,6 +179,36 @@ def make_flagship_member_core(
         # via ``make_flagship_occ_update``. ``occ`` passes through so the
         # state layout (and checkpoints) stay identical.
         _, k_samp = jax.random.split(k_occ)
+
+        def finish(loss, aux, grads):
+            """NaN-guarded Adam step shared by both train branches."""
+            flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
+            bad = ~jnp.all(jnp.isfinite(flat_grads))
+            safe_grads = jax.tree.map(jnp.nan_to_num, grads)
+            updates, new_opt_state = opt.update(
+                safe_grads, opt_state, params
+            )
+            new_params = optax.apply_updates(params, updates)
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(bad, b, a), new, old
+            )
+            return (
+                keep(new_params, params),
+                keep(new_opt_state, opt_state),
+                occ,
+                loss,
+                aux[0], aux[1], aux[2], aux[3],
+                bad,
+            )
+
+        if spectral.use_packed_lossgrad(
+            s_cfg, params["main"], batch.origins.shape[0],
+            cfg.max_samples_train,
+        ):
+            loss, aux, grads = _fused_loss_and_grads(params, batch, k_samp)
+            if grad_reduce is not None:
+                grads = grad_reduce(grads)
+            return finish(loss, aux, grads)
 
         def loss_fn(p):
             # whole-field kernel fast path (encode+trunk+heads in ONE
@@ -197,23 +281,7 @@ def make_flagship_member_core(
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         if grad_reduce is not None:
             grads = grad_reduce(grads)
-
-        flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
-        bad = ~jnp.all(jnp.isfinite(flat_grads))
-        safe_grads = jax.tree.map(jnp.nan_to_num, grads)
-        updates, new_opt_state = opt.update(safe_grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        keep = lambda new, old: jax.tree.map(
-            lambda a, b: jnp.where(bad, b, a), new, old
-        )
-        return (
-            keep(new_params, params),
-            keep(new_opt_state, opt_state),
-            occ,
-            loss,
-            aux[0], aux[1], aux[2], aux[3],
-            bad,
-        )
+        return finish(loss, aux, grads)
 
     return member_core
 
