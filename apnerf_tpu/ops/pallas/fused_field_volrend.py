@@ -134,7 +134,6 @@ def _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref, tw, rw, sw,
     bf = jnp.bfloat16
     LT = len(tw) // 2
     Z = range(len(cols))
-    mkf = lambda pre: (pre > 0).astype(bf)
     ut = [ut_ref[:, col] for col in cols]
     utb = [u.astype(bf) for u in ut]
     wsb = wspec_ref[:].astype(bf)
@@ -145,13 +144,11 @@ def _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref, tw, rw, sw,
     w0b = tw[0][:].astype(bf)
     a0 = [_dot_tn(w0b[:M], cb[k]) + _dot_tn(w0b[M:], sb[k]) + tw[1][:]
           for k in Z]
-    mask = [[mkf(a)] for a in a0]
     h = [[jnp.maximum(a, 0).astype(bf)] for a in a0]
     for i in range(1, LT - 1):
         wib = tw[2 * i][:].astype(bf)
         ai = [_dot_tn(wib, h[k][-1]) + tw[2 * i + 1][:] for k in Z]
         for k in Z:
-            mask[k].append(mkf(ai[k]))
             h[k].append(jnp.maximum(ai[k], 0).astype(bf))
     wLb = tw[2 * (LT - 1)][:].astype(bf)  # [1+G, H] pre-transposed
     out = [_dot(wLb, h[k][-1]) + tw[2 * LT - 1][:] for k in Z]
@@ -169,34 +166,38 @@ def _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref, tw, rw, sw,
     r0b = rw[0][:].astype(bf)
     a1 = [_dot_tn(r0b[:16], shb[k]) + _dot_tn(r0b[16:], geo[k]) + rw[1][:]
           for k in Z]
-    mk1 = [mkf(a) for a in a1]
     h1 = [jnp.maximum(a, 0).astype(bf) for a in a1]
     r2b = rw[2][:].astype(bf)
     a2 = [_dot_tn(r2b, hk) + rw[3][:] for hk in h1]
-    mk2 = [mkf(a) for a in a2]
     h2 = [jnp.maximum(a, 0).astype(bf) for a in a2]
     r4b = rw[4][:].astype(bf)
     rgb = [1.0 / (1.0 + jnp.exp(-(_dot_tn(r4b, hk) + rw[5][:])))
            for hk in h2]
     s0b = sw[0][:].astype(bf)
     am1 = [_dot_tn(s0b, g_) + sw[1][:] for g_ in geo]
-    mkm1 = [mkf(a) for a in am1]
     m1 = [jnp.maximum(a, 0).astype(bf) for a in am1]
     s2b = sw[2][:].astype(bf)
     am2 = [_dot_tn(s2b, mm) + sw[3][:] for mm in m1]
-    mkm2 = [mkf(a) for a in am2]
     m2 = [jnp.maximum(a, 0).astype(bf) for a in am2]
     s4b = sw[4][:].astype(bf)
     sem = [_dot_tn(s4b, mk_) + sw[5][:] for mk_ in m2]  # [Csem, tc] f32
     fwd = dict(rgb=rgb, sigma=sigma, sem=sem)
     if not with_preacts:
         return fwd
+    # VMEM-diet contract (r4g): the dict deliberately does NOT carry the
+    # ReLU masks or the 64-wide head activations — ``_field_bwd_v``
+    # recomputes masks from the kept activations ((h>0) ⟺ (a>0), exact;
+    # compared through an f32 convert since bf16 compares don't lower on
+    # this Mosaic target) and re-runs the cheap head dots, so the
+    # forward's copies die before the volrend section instead of living
+    # across the whole kernel. At tile 2048 that was ~4 MB of the
+    # combined kernel's 5.3 MB scoped-VMEM overage.
     fwd.update(
-        utb=utb, cb=cb, sb=sb, M=M, mask=mask, h=h, raw=raw, geo=geo,
-        sel=sel, shb=shb, mk1=mk1, h1=h1, mk2=mk2, h2=h2,
-        mkm1=mkm1, m1=m1, mkm2=mkm2, m2=m2,
+        utb=utb, cb=cb, sb=sb, M=M, h=h, raw=raw, geo=geo,
+        sel=sel, shb=shb,
         w0b=w0b, wLb=wLb, r0b=r0b, r2b=r2b, r4b=r4b,
         s0b=s0b, s2b=s2b, s4b=s4b, wsb=wsb, tw=tw,
+        rb1=rw[1][:], rb3=rw[3][:], sb1=sw[1][:], sb3=sw[3][:],
     )
     return fwd
 
@@ -274,18 +275,41 @@ def _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z, dut_ref=None, cols=None):
     bf = jnp.bfloat16
     csum = lambda vals: sum(vals[1:], vals[0])
     raw, sel, geo = f["raw"], f["sel"], f["geo"]
-    rgb, mask, h = f["rgb"], f["mask"], f["h"]
-    gsem_b = [gs.astype(bf) for gs in g_sem]
+    rgb, h, shb = f["rgb"], f["h"], f["shb"]
+    # VMEM diet (r4g): recompute the 64-wide head activations + their
+    # masks here instead of retaining them from the forward — the
+    # forward's copies die before the volrend section, and the masks
+    # come straight from the recomputed f32 pre-activations. Trunk masks
+    # recompute from the KEPT h via an f32 convert ((h>0) ⟺ (a>0),
+    # exact; bf16 compares don't lower on this Mosaic target).
+    mkh = lambda hx: (hx.astype(jnp.float32) > 0).astype(bf)
+    r4b, r2b, r0b = f["r4b"], f["r2b"], f["r0b"]
+    a1 = [
+        _dot_tn(r0b[:16], shb[k]) + _dot_tn(r0b[16:], geo[k]) + f["rb1"]
+        for k in Z
+    ]
+    mk1 = [(a > 0).astype(bf) for a in a1]
+    h1 = [jnp.maximum(a, 0).astype(bf) for a in a1]
+    a2 = [_dot_tn(r2b, hk) + f["rb3"] for hk in h1]
+    mk2 = [(a > 0).astype(bf) for a in a2]
+    h2 = [jnp.maximum(a, 0).astype(bf) for a in a2]
     s4b, s2b, s0b = f["s4b"], f["s2b"], f["s0b"]
-    gm2 = [(_dot(s4b, gsem_b[k]) * f["mkm2"][k]).astype(bf) for k in Z]
-    gm1 = [(_dot(s2b, gm2[k]) * f["mkm1"][k]).astype(bf) for k in Z]
+    am1 = [_dot_tn(s0b, g_) + f["sb1"] for g_ in geo]
+    mkm1 = [(a > 0).astype(bf) for a in am1]
+    m1 = [jnp.maximum(a, 0).astype(bf) for a in am1]
+    am2 = [_dot_tn(s2b, mm) + f["sb3"] for mm in m1]
+    mkm2 = [(a > 0).astype(bf) for a in am2]
+    m2 = [jnp.maximum(a, 0).astype(bf) for a in am2]
+
+    gsem_b = [gs.astype(bf) for gs in g_sem]
+    gm2 = [(_dot(s4b, gsem_b[k]) * mkm2[k]).astype(bf) for k in Z]
+    gm1 = [(_dot(s2b, gm2[k]) * mkm1[k]).astype(bf) for k in Z]
     g_geo_sem = [_dot(s0b, gm) for gm in gm1]
 
-    r4b, r2b, r0b = f["r4b"], f["r2b"], f["r0b"]
     grgb_pre = [g_rgb[k] * rgb[k] * (1.0 - rgb[k]) for k in Z]
     gp_b = [gp.astype(bf) for gp in grgb_pre]
-    gh2 = [(_dot(r4b, gp_b[k]) * f["mk2"][k]).astype(bf) for k in Z]
-    gh1 = [(_dot(r2b, gh2[k]) * f["mk1"][k]).astype(bf) for k in Z]
+    gh2 = [(_dot(r4b, gp_b[k]) * mk2[k]).astype(bf) for k in Z]
+    gh1 = [(_dot(r2b, gh2[k]) * mk1[k]).astype(bf) for k in Z]
     g_geo_rgb = [_dot(r0b[16:], gh) for gh in gh1]
 
     graw = [
@@ -299,7 +323,7 @@ def _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z, dut_ref=None, cols=None):
     gh = [
         (
             (_dot_tn(wLb[0:1], graw_b[k]) + _dot_tn(wLb[1:], ggeo_b[k]))
-            * mask[k][LT - 2]
+            * mkh(h[k][LT - 2])
         ).astype(bf)
         for k in Z
     ]
@@ -308,7 +332,7 @@ def _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z, dut_ref=None, cols=None):
         mid.append(csum([_dot_nt(h[k][li - 1], gh[k]) for k in Z]))
         mid.append(csum([_sum_lanes(gh[k]) for k in Z]))
         wib = f["tw"][2 * li][:].astype(bf)
-        gh = [(_dot(wib, gh[k]) * mask[k][li - 1]).astype(bf)
+        gh = [(_dot(wib, gh[k]) * mkh(h[k][li - 1])).astype(bf)
               for k in Z]
     M = f["M"]
     cb, sb, utb = f["cb"], f["sb"], f["utb"]
@@ -321,8 +345,6 @@ def _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z, dut_ref=None, cols=None):
             dut_ref[:, cols[k]] = (_dot(wsb, dpb[k]) * _TWO_PI).astype(
                 dut_ref.dtype
             )
-    shb, h1, h2 = f["shb"], f["h1"], f["h2"]
-    m1, m2 = f["m1"], f["m2"]
     return [
         csum([_dot_nt(utb[k], dpb[k]) for k in Z]) * _TWO_PI,
         csum([_sum_lanes(dproj[k]) for k in Z]),

@@ -176,9 +176,10 @@ def main():
     psnr = -10.0 * np.log10(max(mse, 1e-12))
 
     # Canary GATE (VERDICT r3 weak #2: "a canary nobody reads is
-    # decoration"): healthy band measured on the v5e — r3 recorded 16.42
-    # at this exact budget (BENCH_r03.json); the FakeSim scene at
-    # 125 steps lands 15.5-17.5 across seeds. Below 15.0 means a quality
+    # decoration"): healthy band measured on the v5e — r3 recorded 16.42,
+    # r4 16.57 (two-kernel path) and 17.53 (combined loss+grad kernel)
+    # at this exact budget; the FakeSim scene at 125 steps lands
+    # 15.5-17.6 across seeds/paths. Below 15.0 means a quality
     # regression rode in with a perf change: the bench FAILS (rc=1) so
     # the driver records it loudly rather than as a healthy-looking
     # throughput number.
