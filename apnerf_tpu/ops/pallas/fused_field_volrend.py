@@ -526,6 +526,7 @@ def _call_fvr_fwd(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws, S):
             jax.ShapeDtypeStruct((1, N), jnp.float32),
         ),
         interpret=_use_interpret(),
+        compiler_params=_vmem_params(),
     )(ut, sht, dt, tm, wspec, phase2d, *ws)
 
 
@@ -555,6 +556,7 @@ def _call_fvr_bwd(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws,
         out_shape=(jax.ShapeDtypeStruct((3, N), ut.dtype),)
         + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in acc_shapes),
         interpret=_use_interpret(),
+        compiler_params=_vmem_params(),
     )(ut, sht, dt, tm, wspec, phase2d, *ws, g_acc, g_w)
 
 
@@ -633,11 +635,30 @@ fused_field_volrend.defvjp(_fvr_fwd, _fvr_bwd)
 
 _F32_EPS = float(jnp.finfo(jnp.float32).eps)
 
-# The combined kernel's scoped-VMEM frontier is one tile size below the
-# split kernels' (it keeps the forward's head outputs AND the backward's
-# preacts live together): tile 2048 at 8 chains compiles the split bwd
-# at 15.9 MB but puts this kernel 5.3 MB over the 16 MB limit.
-_LG_TILE = int(os.environ.get("APNERF_LG_TILE", "1024"))
+
+def _vmem_params():
+    """Per-kernel scoped-VMEM limit (Mosaic ``vmem_limit_bytes``).
+
+    Mosaic's 16 MB scoped-VMEM budget is a compiler default, not the
+    hardware ceiling — the v5e core has far more VMEM, and the combined
+    loss+grad kernel's frontier (tile 2048 ≈ 18.3 MB live after the r4g
+    diet) fits once the budget is raised. 32 MB is the measured default
+    (tile-2048 lossgrad = 2.838× vs 2.610× at the 16 MB-bound tile 1024;
+    tile 4096 at 64 MB regressed to 2.547×, so more budget ≠ more tile).
+    ``APNERF_VMEM_MB`` overrides (0 = compiler default); the global
+    ``--xla_tpu_scoped_vmem_limit_kib`` flag can't be used here because
+    compilation happens server-side behind the axon tunnel."""
+    mb = float(os.environ.get("APNERF_VMEM_MB", "32") or 0)
+    if mb <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(mb * 2**20))
+
+# With the 32 MB scoped-VMEM budget the combined kernel's frontier
+# matches the split kernels' at tile 2048 (8 × 256-wide chains,
+# ~18.3 MB live; the r4g diet keeps the trunk activations as the
+# irreducible mass). The r4h sweep: 2048/8 = 2.838×, 2048/4 = 2.791×,
+# 4096 = 2.547×, 1024 (old 16 MB-bound default) = 2.610×.
+_LG_TILE = int(os.environ.get("APNERF_LG_TILE", "2048"))
 
 
 def _make_fvr_lossgrad_kernel(n_trunk: int, S: int, spg: int,
@@ -814,6 +835,7 @@ def _call_fvr_lossgrad(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws,
         )
         + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in acc_shapes),
         interpret=_use_interpret(),
+        compiler_params=_vmem_params(),
     )(ut, sht, dt, tm, wspec, phase2d, *ws, pix, dgt, lab, bkgd)
 
 
