@@ -107,12 +107,26 @@ def _clamp_splits(t: int, S: int) -> int:
 
 
 def _lt_mask(tc: int, S: int):
-    """Block-lower-triangular f32 [tc, tc]: 1 where (same ray) & (m < n).
-    excl_cumsum(a)[n] = Σ_m a[m]·LT[m,n]  (a @ LT);
-    rev_excl_cumsum(v)[n] = Σ_m v[m]·LT[n,m]  (_dot_nt(v, LT))."""
+    """Block-lower-triangular {0,1} bf16 [tc, tc]: 1 where (same ray) &
+    (m < n).  excl_cumsum(a)[n] = Σ_m a[m]·LT[m,n]  (a @ LT);
+    rev_excl_cumsum(v)[n] = Σ_m v[m]·LT[n,m]  (_dot_nt(v, LT)).
+    bf16 because the mask is exact in any dtype and f32 MXU passes cost
+    ~4x — the f32-valued operand goes through ``_dot_hl``."""
     r = jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 1)
-    return ((r // S == c // S) & (r < c)).astype(jnp.float32)
+    return ((r // S == c // S) & (r < c)).astype(jnp.bfloat16)
+
+
+def _dot_hl(x, ltm, nt: bool = False):
+    """f32 [1, tc] × {0,1}-mask matmul at the bf16 MXU rate, ~f32
+    accurate: split x = hi + lo (bf16 halves, residual rounded once),
+    run two bf16 passes with f32 accumulation.  Relative error ~2^-17
+    vs f32's 2^-24 — far below the kernel's bf16 rounding class, at
+    1/2 the padded cost of one f32 MXU pass (r4i)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = _dot_nt if nt else _dot
+    return d(hi, ltm) + d(lo, ltm)
 
 
 def _grel(i, k, tc: int, S: int, spg: int, rays_per_tile: int):
@@ -124,13 +138,22 @@ def _grel(i, k, tc: int, S: int, spg: int, rays_per_tile: int):
     return (rr == jj).astype(jnp.bfloat16)
 
 
-def _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref, tw, rw, sw,
+def _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref, tw, hw,
                       cols, with_preacts: bool):
     """Shared stage-interleaved field recompute over column chains (the
-    fused_field_heads fwd math verbatim, except SH view features arrive
+    fused_field_heads fwd math, except SH view features arrive
     pre-expanded per chain — bf16 [16, tc] lists built from the per-RAY
-    block via the ray-indicator matmul). Returns per-chain lists; with
-    ``with_preacts`` also the intermediates the backward needs."""
+    block via the ray-indicator matmul — and the rgb+sem heads run as
+    ONE block-combined 128-wide MLP, r4i). Returns per-chain lists; with
+    ``with_preacts`` also the intermediates the backward needs.
+
+    Block-combined head: both 64-wide heads pad every MXU dim to 128
+    anyway, so running them separately costs 7 padded dots per direction
+    where a single 128-wide MLP with block-structured weights (built
+    OUTSIDE the kernel by ``_combine_head_weights``: rgb blocks in rows
+    [:64], sem blocks in rows [64:], structural zeros elsewhere) does the
+    identical math — same products, same f32 accumulation order per
+    block — in 3. Input x = [SH(16); geo(G)]; output [3 rgb + C sem]."""
     bf = jnp.bfloat16
     LT = len(tw) // 2
     Z = range(len(cols))
@@ -163,41 +186,34 @@ def _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref, tw, rw, sw,
         for u in ut
     ]
     sigma = [jnp.exp(raw[k] - 1.0) * sel[k] for k in Z]
-    r0b = rw[0][:].astype(bf)
-    a1 = [_dot_tn(r0b[:16], shb[k]) + _dot_tn(r0b[16:], geo[k]) + rw[1][:]
-          for k in Z]
-    h1 = [jnp.maximum(a, 0).astype(bf) for a in a1]
-    r2b = rw[2][:].astype(bf)
-    a2 = [_dot_tn(r2b, hk) + rw[3][:] for hk in h1]
-    h2 = [jnp.maximum(a, 0).astype(bf) for a in a2]
-    r4b = rw[4][:].astype(bf)
-    rgb = [1.0 / (1.0 + jnp.exp(-(_dot_tn(r4b, hk) + rw[5][:])))
-           for hk in h2]
-    s0b = sw[0][:].astype(bf)
-    am1 = [_dot_tn(s0b, g_) + sw[1][:] for g_ in geo]
-    m1 = [jnp.maximum(a, 0).astype(bf) for a in am1]
-    s2b = sw[2][:].astype(bf)
-    am2 = [_dot_tn(s2b, mm) + sw[3][:] for mm in m1]
-    m2 = [jnp.maximum(a, 0).astype(bf) for a in am2]
-    s4b = sw[4][:].astype(bf)
-    sem = [_dot_tn(s4b, mk_) + sw[5][:] for mk_ in m2]  # [Csem, tc] f32
+    # block-combined head: x = [SH; geo] (bf16 concat at row 16 — the
+    # bf16 sublane tile — so the concat is tile-aligned)
+    x = [jnp.concatenate([shb[k], geo[k]], axis=0) for k in Z]
+    w1b = hw[0][:].astype(bf)
+    ac1 = [_dot_tn(w1b, xk) + hw[1][:] for xk in x]
+    hc1 = [jnp.maximum(a, 0).astype(bf) for a in ac1]
+    w2b = hw[2][:].astype(bf)
+    ac2 = [_dot_tn(w2b, hk) + hw[3][:] for hk in hc1]
+    hc2 = [jnp.maximum(a, 0).astype(bf) for a in ac2]
+    w3b = hw[4][:].astype(bf)
+    outh = [_dot_tn(w3b, hk) + hw[5][:] for hk in hc2]  # [3+C, tc] f32
+    rgb = [1.0 / (1.0 + jnp.exp(-o[0:3])) for o in outh]
+    sem = [o[3:] for o in outh]  # [Csem, tc] f32
     fwd = dict(rgb=rgb, sigma=sigma, sem=sem)
     if not with_preacts:
         return fwd
     # VMEM-diet contract (r4g): the dict deliberately does NOT carry the
-    # ReLU masks or the 64-wide head activations — ``_field_bwd_v``
-    # recomputes masks from the kept activations ((h>0) ⟺ (a>0), exact;
-    # compared through an f32 convert since bf16 compares don't lower on
-    # this Mosaic target) and re-runs the cheap head dots, so the
-    # forward's copies die before the volrend section instead of living
-    # across the whole kernel. At tile 2048 that was ~4 MB of the
-    # combined kernel's 5.3 MB scoped-VMEM overage.
+    # ReLU masks or the head activations — ``_field_bwd_v`` recomputes
+    # masks from recomputed f32 pre-activations ((h>0) ⟺ (a>0), exact;
+    # bf16 compares don't lower on this Mosaic target) and re-runs the
+    # cheap head dots, so the forward's copies die before the volrend
+    # section instead of living across the whole kernel. At tile 2048
+    # that was ~4 MB of the combined kernel's 5.3 MB scoped-VMEM overage.
     fwd.update(
         utb=utb, cb=cb, sb=sb, M=M, h=h, raw=raw, geo=geo,
         sel=sel, shb=shb,
-        w0b=w0b, wLb=wLb, r0b=r0b, r2b=r2b, r4b=r4b,
-        s0b=s0b, s2b=s2b, s4b=s4b, wsb=wsb, tw=tw,
-        rb1=rw[1][:], rb3=rw[3][:], sb1=sw[1][:], sb3=sw[3][:],
+        w0b=w0b, wLb=wLb, w1b=w1b, w2b=w2b, w3b=w3b,
+        wsb=wsb, tw=tw, hb1=hw[1][:], hb3=hw[3][:],
     )
     return fwd
 
@@ -207,7 +223,7 @@ def _volrend_chains(sigma, dt_ref, cols, ltm):
     α=1-exp(-a), w=T·α — matches ops/volrend.render_weight_from_density
     (exclusive-sum formulation, `volrend.py:164-229`)."""
     a = [sigma[k] * dt_ref[:, col] for k, col in enumerate(cols)]
-    Tr = [jnp.exp(-_dot(ak, ltm)) for ak in a]
+    Tr = [jnp.exp(-_dot_hl(ak, ltm)) for ak in a]
     al = [1.0 - jnp.exp(-ak) for ak in a]
     w = [Tr[k] * al[k] for k in range(len(cols))]
     return a, Tr, al, w
@@ -220,8 +236,7 @@ def _make_fvr_fwd_kernel(n_trunk: int, S: int, spg: int,
     def kernel(ut_ref, sht_ref, dt_ref, tm_ref, wspec_ref, phase_ref,
                *refs):
         tw = refs[: 2 * LT]
-        rw = refs[2 * LT : 2 * LT + 6]
-        sw = refs[2 * LT + 6 : 2 * LT + 12]
+        hw = refs[2 * LT : 2 * LT + 6]
         acc_ref, w_ref = refs[-2], refs[-1]
         bf = jnp.bfloat16
         i = pl.program_id(0)
@@ -237,94 +252,100 @@ def _make_fvr_fwd_kernel(n_trunk: int, S: int, spg: int,
         shtb = sht_ref[:].astype(bf)
         shb = [_dot_nt(shtb, gr[k]).astype(bf) for k in Z]
         f = _field_fwd_chains(ut_ref, shb, wspec_ref, phase_ref,
-                              tw, rw, sw, cols, with_preacts=False)
+                              tw, hw, cols, with_preacts=False)
         ltm = _lt_mask(tc, S)
         _, _, _, w = _volrend_chains(f["sigma"], dt_ref, cols, ltm)
         for k in Z:
             w_ref[:, cols[k]] = w[k]
-        # per-ray accumulation into the revisited 128-ray block. Products
-        # round to bf16 for the indicator matmul (f32 MXU passes would
-        # cost ~4x); the 128-term ray sums still accumulate in f32.
-        wb = [w[k].astype(bf) for k in Z]
-        rgbc = [_dot((f["rgb"][k] * w[k]).astype(bf), gr[k]) for k in Z]
-        opc = [_dot(wb[k], gr[k]) for k in Z]
-        depc = [_dot((w[k] * tm_ref[:, cols[k]]).astype(bf), gr[k])
-                for k in Z]
-        semc = [_dot((f["sem"][k] * w[k]).astype(bf), gr[k]) for k in Z]
+        # per-ray accumulation into the revisited 128-ray block. All
+        # channels STACK into one [5+C, tc] operand per chain (rows pad
+        # to 128 on the MXU either way, so four separate dots cost 4x
+        # the passes of one stacked dot — r4i). Products round to bf16
+        # for the indicator matmul (f32 MXU passes would cost ~4x); the
+        # 128-term ray sums still accumulate in f32.
+        accs = [
+            _dot(
+                jnp.concatenate(
+                    [
+                        f["rgb"][k] * w[k],
+                        w[k],
+                        w[k] * tm_ref[:, cols[k]],
+                        f["sem"][k] * w[k],
+                    ],
+                    axis=0,
+                ).astype(bf),
+                gr[k],
+            )
+            for k in Z
+        ]
 
         @pl.when(i % spg == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         for k in Z:
-            acc_ref[0:3] += rgbc[k]
-            acc_ref[3:4] += opc[k]
-            acc_ref[4:5] += depc[k]
-            acc_ref[5:] += semc[k]
+            acc_ref[...] += accs[k]
 
     return kernel
 
 
 def _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z, dut_ref=None, cols=None):
     """Shared field backward: from per-sample cotangents {g_rgb, dsig,
-    g_sem} (per-chain [·, tc] lists) through heads + trunk + encode to the
-    flat parameter-gradient list ``v`` consumed by ``_acc_param_grads``.
-    Writes duT per chain when ``dut_ref`` is given (the lossgrad kernel
-    skips it: sampled positions are stop-gradiented upstream, so XLA
-    discards duT there anyway)."""
+    g_sem} (per-chain [·, tc] lists) through the block-combined head +
+    trunk + encode to the flat parameter-gradient list ``v`` consumed by
+    ``_acc_param_grads``.  Writes duT per chain when ``dut_ref`` is given
+    (the lossgrad kernel skips it: sampled positions are stop-gradiented
+    upstream, so XLA discards duT there anyway).
+
+    The combined head backward runs 3 padded dots per chain where the
+    split heads ran 6, and its input cotangent g_x[16:] delivers
+    d(geo) from BOTH heads in one matmul. Cross-block entries of the
+    combined dW accumulators (e.g. SH→sem-hidden) are structurally
+    meaningless and sliced away outside the kernel."""
     bf = jnp.bfloat16
     csum = lambda vals: sum(vals[1:], vals[0])
     raw, sel, geo = f["raw"], f["sel"], f["geo"]
     rgb, h, shb = f["rgb"], f["h"], f["shb"]
-    # VMEM diet (r4g): recompute the 64-wide head activations + their
-    # masks here instead of retaining them from the forward — the
-    # forward's copies die before the volrend section, and the masks
-    # come straight from the recomputed f32 pre-activations. Trunk masks
-    # recompute from the KEPT h via an f32 convert ((h>0) ⟺ (a>0),
-    # exact; bf16 compares don't lower on this Mosaic target).
+    # VMEM diet (r4g): recompute the head activations + their masks here
+    # instead of retaining them from the forward — the forward's copies
+    # die before the volrend section, and the masks come straight from
+    # the recomputed f32 pre-activations. Trunk masks recompute from the
+    # KEPT h via an f32 convert ((h>0) ⟺ (a>0), exact; bf16 compares
+    # don't lower on this Mosaic target).
     mkh = lambda hx: (hx.astype(jnp.float32) > 0).astype(bf)
-    r4b, r2b, r0b = f["r4b"], f["r2b"], f["r0b"]
-    a1 = [
-        _dot_tn(r0b[:16], shb[k]) + _dot_tn(r0b[16:], geo[k]) + f["rb1"]
-        for k in Z
-    ]
-    mk1 = [(a > 0).astype(bf) for a in a1]
-    h1 = [jnp.maximum(a, 0).astype(bf) for a in a1]
-    a2 = [_dot_tn(r2b, hk) + f["rb3"] for hk in h1]
-    mk2 = [(a > 0).astype(bf) for a in a2]
-    h2 = [jnp.maximum(a, 0).astype(bf) for a in a2]
-    s4b, s2b, s0b = f["s4b"], f["s2b"], f["s0b"]
-    am1 = [_dot_tn(s0b, g_) + f["sb1"] for g_ in geo]
-    mkm1 = [(a > 0).astype(bf) for a in am1]
-    m1 = [jnp.maximum(a, 0).astype(bf) for a in am1]
-    am2 = [_dot_tn(s2b, mm) + f["sb3"] for mm in m1]
-    mkm2 = [(a > 0).astype(bf) for a in am2]
-    m2 = [jnp.maximum(a, 0).astype(bf) for a in am2]
+    w1b, w2b, w3b = f["w1b"], f["w2b"], f["w3b"]
+    x = [jnp.concatenate([shb[k], geo[k]], axis=0) for k in Z]
+    ac1 = [_dot_tn(w1b, xk) + f["hb1"] for xk in x]
+    mk1 = [(a > 0).astype(bf) for a in ac1]
+    hc1 = [jnp.maximum(a, 0).astype(bf) for a in ac1]
+    ac2 = [_dot_tn(w2b, hk) + f["hb3"] for hk in hc1]
+    mk2 = [(a > 0).astype(bf) for a in ac2]
+    hc2 = [jnp.maximum(a, 0).astype(bf) for a in ac2]
 
-    gsem_b = [gs.astype(bf) for gs in g_sem]
-    gm2 = [(_dot(s4b, gsem_b[k]) * mkm2[k]).astype(bf) for k in Z]
-    gm1 = [(_dot(s2b, gm2[k]) * mkm1[k]).astype(bf) for k in Z]
-    g_geo_sem = [_dot(s0b, gm) for gm in gm1]
-
+    # head output cotangent, stacked [3+C, tc]: sigmoid'(rgb) rows then
+    # the raw semantic-logit rows
     grgb_pre = [g_rgb[k] * rgb[k] * (1.0 - rgb[k]) for k in Z]
-    gp_b = [gp.astype(bf) for gp in grgb_pre]
-    gh2 = [(_dot(r4b, gp_b[k]) * mk2[k]).astype(bf) for k in Z]
-    gh1 = [(_dot(r2b, gh2[k]) * mk1[k]).astype(bf) for k in Z]
-    g_geo_rgb = [_dot(r0b[16:], gh) for gh in gh1]
+    gout = [
+        jnp.concatenate([grgb_pre[k], g_sem[k]], axis=0) for k in Z
+    ]
+    goutb = [g.astype(bf) for g in gout]
+    ghc2 = [(_dot(w3b, goutb[k]) * mk2[k]).astype(bf) for k in Z]
+    ghc1 = [(_dot(w2b, ghc2[k]) * mk1[k]).astype(bf) for k in Z]
+    gx = [_dot(w1b, ghc1[k]) for k in Z]  # [16+G, tc] f32
 
     graw = [
         dsig[k] * jnp.exp(jnp.minimum(raw[k] - 1.0, 15.0)) * sel[k]
         for k in Z
     ]
-    g_geo = [g_geo_sem[k] + g_geo_rgb[k] for k in Z]
-    graw_b = [g.astype(bf) for g in graw]
-    ggeo_b = [g.astype(bf) for g in g_geo]
+    # trunk out-layer cotangent, stacked [1+G, tc]: raw-density row then
+    # the geo rows (gx[16:] already sums the rgb- and sem-head paths)
+    gtr = [
+        jnp.concatenate([graw[k], gx[k][16:]], axis=0) for k in Z
+    ]
+    gtrb = [g.astype(bf) for g in gtr]
     wLb, w0b, wsb = f["wLb"], f["w0b"], f["wsb"]
     gh = [
-        (
-            (_dot_tn(wLb[0:1], graw_b[k]) + _dot_tn(wLb[1:], ggeo_b[k]))
-            * mkh(h[k][LT - 2])
-        ).astype(bf)
+        (_dot_tn(wLb, gtrb[k]) * mkh(h[k][LT - 2])).astype(bf)
         for k in Z
     ]
     mid = []
@@ -352,27 +373,18 @@ def _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z, dut_ref=None, cols=None):
         csum([_dot_nt(sb[k], gh[k]) for k in Z]),
         csum([_sum_lanes(gh[k]) for k in Z]),
         *mid,
-        csum([_dot_nt(graw_b[k], h[k][-1]) for k in Z]),
-        csum([_dot_nt(ggeo_b[k], h[k][-1]) for k in Z]),
-        csum([_sum_lanes(graw[k]) for k in Z]),
-        csum([_sum_lanes(g_geo[k]) for k in Z]),
-        csum([_dot_nt(shb[k], gh1[k]) for k in Z]),
-        csum([_dot_nt(geo[k], gh1[k]) for k in Z]),
-        csum([_sum_lanes(gh1[k]) for k in Z]),
-        csum([_dot_nt(h1[k], gh2[k]) for k in Z]),
-        csum([_sum_lanes(gh2[k]) for k in Z]),
-        csum([_dot_nt(h2[k], gp_b[k]) for k in Z]),
-        csum([_sum_lanes(grgb_pre[k]) for k in Z]),
-        csum([_dot_nt(geo[k], gm1[k]) for k in Z]),
-        csum([_sum_lanes(gm1[k]) for k in Z]),
-        csum([_dot_nt(m1[k], gm2[k]) for k in Z]),
-        csum([_sum_lanes(gm2[k]) for k in Z]),
-        csum([_dot_nt(m2[k], gsem_b[k]) for k in Z]),
-        csum([_sum_lanes(g_sem[k]) for k in Z]),
+        csum([_dot_nt(gtrb[k], h[k][-1]) for k in Z]),  # dwL [1+G, H]
+        csum([_sum_lanes(gtr[k]) for k in Z]),          # dbL [1+G, 1]
+        csum([_dot_nt(x[k], ghc1[k]) for k in Z]),      # dW1c [16+G, 2H]
+        csum([_sum_lanes(ghc1[k]) for k in Z]),         # db1c [2H, 1]
+        csum([_dot_nt(hc1[k], ghc2[k]) for k in Z]),    # dW2c [2H, 2H]
+        csum([_sum_lanes(ghc2[k]) for k in Z]),         # db2c [2H, 1]
+        csum([_dot_nt(hc2[k], goutb[k]) for k in Z]),   # dW3c [2H, 3+C]
+        csum([_sum_lanes(gout[k]) for k in Z]),         # db3c [3+C, 1]
     ]
 
 
-def _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, drw, dsw, v,
+def _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, dhw, v,
                      LT, Mspec):
     """Accumulate the ``_field_bwd_v`` list into the revisited VMEM
     parameter-gradient outputs (zeroed on the first grid step)."""
@@ -402,19 +414,11 @@ def _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, drw, dsw, v,
         acc(dtw[2 * li], v[p])
         acc(dtw[2 * li + 1], v[p + 1])
         p += 2
-    acc_split(dtw[2 * (LT - 1)], (slice(0, 1), slice(1, None)),
-              (v[p], v[p + 1]))
-    acc_split(dtw[2 * LT - 1], (slice(0, 1), slice(1, None)),
-              (v[p + 2], v[p + 3]))
-    acc_split(drw[0], (slice(0, 16), slice(16, None)),
-              (v[p + 4], v[p + 5]))
-    acc(drw[1], v[p + 6])
-    acc(drw[2], v[p + 7])
-    acc(drw[3], v[p + 8])
-    acc(drw[4], v[p + 9])
-    acc(drw[5], v[p + 10])
+    # dwL/dbL arrive whole [1+G, ·] (the stacked out-layer backward)
+    acc(dtw[2 * (LT - 1)], v[p])
+    acc(dtw[2 * LT - 1], v[p + 1])
     for j in range(6):
-        acc(dsw[j], v[p + 11 + j])
+        acc(dhw[j], v[p + 2 + j])
 
 
 def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
@@ -424,16 +428,14 @@ def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
     def kernel(ut_ref, sht_ref, dt_ref, tm_ref, wspec_ref, phase_ref,
                *refs):
         tw = refs[: 2 * LT]
-        rw = refs[2 * LT : 2 * LT + 6]
-        sw = refs[2 * LT + 6 : 2 * LT + 12]
-        gacc_ref = refs[2 * LT + 12]
-        gwin_ref = refs[2 * LT + 13]
-        dut_ref = refs[2 * LT + 14]
-        dwspec_ref = refs[2 * LT + 15]
-        dphase_ref = refs[2 * LT + 16]
-        dtw = refs[2 * LT + 17 : 4 * LT + 17]
-        drw = refs[4 * LT + 17 : 4 * LT + 23]
-        dsw = refs[4 * LT + 23 : 4 * LT + 29]
+        hw = refs[2 * LT : 2 * LT + 6]
+        gacc_ref = refs[2 * LT + 6]
+        gwin_ref = refs[2 * LT + 7]
+        dut_ref = refs[2 * LT + 8]
+        dwspec_ref = refs[2 * LT + 9]
+        dphase_ref = refs[2 * LT + 10]
+        dtw = refs[2 * LT + 11 : 4 * LT + 11]
+        dhw = refs[4 * LT + 11 : 4 * LT + 17]
         bf = jnp.bfloat16
         i = pl.program_id(0)
         first = i == 0
@@ -445,7 +447,7 @@ def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
         shtb = sht_ref[:].astype(bf)
         shb_in = [_dot_nt(shtb, gr[k]).astype(bf) for k in Z]
         f = _field_fwd_chains(ut_ref, shb_in, wspec_ref, phase_ref,
-                              tw, rw, sw, cols, with_preacts=True)
+                              tw, hw, cols, with_preacts=True)
         ltm = _lt_mask(tc, S)
         a, Tr, _, w = _volrend_chains(f["sigma"], dt_ref, cols, ltm)
 
@@ -466,7 +468,7 @@ def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
         # w = T·α with T = exp(-excl_cum a), α = 1-exp(-a):
         # da_s = dw_s·T_s·e^{-a_s} − Σ_{j>s} dw_j·w_j
         da = [
-            dw[k] * Tr[k] * jnp.exp(-a[k]) - _dot_nt(dw[k] * w[k], ltm)
+            dw[k] * Tr[k] * jnp.exp(-a[k]) - _dot_hl(dw[k] * w[k], ltm, nt=True)
             for k in Z
         ]
         dsig = [da[k] * dt_ref[:, cols[k]] for k in Z]
@@ -475,10 +477,69 @@ def _make_fvr_bwd_kernel(n_trunk: int, S: int, spg: int,
         # per-sample cotangent replaced by {g_rgb, dsig, g_sem})
         v = _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z,
                          dut_ref=dut_ref, cols=cols)
-        _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, drw, dsw,
+        _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, dhw,
                          v, LT, wspec_ref.shape[1])
 
     return kernel
+
+
+def _combine_head_weights(rws, sws):
+    """Build the block-combined head weights from the separate rgb/sem
+    head tuples (``_head_weights_t`` layout: native [in, out] weights +
+    [D, 1] bias columns).  Both 64-wide heads pad every MXU dimension to
+    128, so one 128-wide MLP with block-structured weights does the
+    identical math in half the padded passes (r4i):
+
+        W1 [16+G, 2H]: [:, :H] = rgb w0 ([SH;geo] input),
+                       [16:, H:] = sem w0 (geo input), zeros elsewhere
+        W2 [2H, 2H]:   block-diag(rgb w1, sem w1)
+        W3 [2H, 3+C]:  [:H, :3] = rgb w2, [H:, 3:] = sem w2
+
+    Runs OUTSIDE the kernel (tiny XLA ops, traced once per call)."""
+    r0, rb1, r2, rb3, r4, rb5 = rws
+    s0, sb1, s2, sb3, s4, sb5 = sws
+    H = r2.shape[0]
+    nr = r4.shape[1]
+    W1 = jnp.zeros((r0.shape[0], 2 * H), r0.dtype)
+    W1 = W1.at[:, :H].set(r0).at[r0.shape[0] - s0.shape[0]:, H:].set(s0)
+    b1 = jnp.concatenate([rb1, sb1], axis=0)
+    W2 = jnp.zeros((2 * H, 2 * H), r2.dtype)
+    W2 = W2.at[:H, :H].set(r2).at[H:, H:].set(s2)
+    b2 = jnp.concatenate([rb3, sb3], axis=0)
+    W3 = jnp.zeros((2 * H, nr + s4.shape[1]), r4.dtype)
+    W3 = W3.at[:H, :nr].set(r4).at[H:, nr:].set(s4)
+    b3 = jnp.concatenate([rb5, sb5], axis=0)
+    return (W1, b1, W2, b2, W3, b3)
+
+
+def _split_head_grads(head, sem, flat):
+    """Slice the combined-head gradient accumulators back into the two
+    head grad dicts (cross-block entries are structurally meaningless —
+    gradients of weights that are hard zeros in the forward — and are
+    dropped here)."""
+    dW1, db1, dW2, db2, dW3, db3 = flat
+    H = head["w1"].shape[0]
+    nr = head["w2"].shape[1]
+    G = sem["w0"].shape[0]
+    Din = dW1.shape[0]
+    cast = lambda a, p: a.astype(p.dtype)
+    dhead = {
+        "w0": cast(dW1[:, :H], head["w0"]),
+        "b0": cast(db1[:H, 0], head["b0"]),
+        "w1": cast(dW2[:H, :H], head["w1"]),
+        "b1": cast(db2[:H, 0], head["b1"]),
+        "w2": cast(dW3[:H, :nr], head["w2"]),
+        "b2": cast(db3[:nr, 0], head["b2"]),
+    }
+    dsem = {
+        "w0": cast(dW1[Din - G:, H:], sem["w0"]),
+        "b0": cast(db1[H:, 0], sem["b0"]),
+        "w1": cast(dW2[H:, H:], sem["w1"]),
+        "b1": cast(db2[H:, 0], sem["b1"]),
+        "w2": cast(dW3[H:, nr:], sem["w2"]),
+        "b2": cast(db3[nr:, 0], sem["b2"]),
+    }
+    return dhead, dsem
 
 
 def _plan(N: int, S: int, max_tile: int = None):
@@ -513,7 +574,7 @@ def _call_fvr_fwd(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws, S):
         (d, _RAY_BLOCK), lambda i, _spg=spg: (0, i // _spg),
         memory_space=pltpu.VMEM,
     )
-    ws = list(tws) + list(rws) + list(sws)
+    ws = list(tws) + list(_combine_head_weights(rws, sws))
     return pl.pallas_call(
         _make_fvr_fwd_kernel(len(tws) // 2, S, spg, rpt, nsp),
         grid=(N // t,),
@@ -543,7 +604,7 @@ def _call_fvr_bwd(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws,
         (d, _RAY_BLOCK), lambda i, _spg=spg: (0, i // _spg),
         memory_space=pltpu.VMEM,
     )
-    ws = list(tws) + list(rws) + list(sws)
+    ws = list(tws) + list(_combine_head_weights(rws, sws))
     acc_shapes = [(3, M), (M, 1)] + [w.shape for w in ws]
     return pl.pallas_call(
         _make_fvr_bwd_kernel(len(tws) // 2, S, spg, rpt, nsp),
@@ -601,8 +662,7 @@ def _fvr_bwd(S, res, g):
     dphase = outs[2].reshape(-1).astype(phase.dtype)
     nt = len(tws)
     dbase = _mlp_grads_from_flat(base, outs[3 : 3 + nt], True)
-    dhead = _mlp_grads_from_flat(head, outs[3 + nt : 9 + nt], False)
-    dsem = _mlp_grads_from_flat(sem, outs[9 + nt : 15 + nt], False)
+    dhead, dsem = _split_head_grads(head, sem, outs[3 + nt : 9 + nt])
     # dt/tm come from the (stop-gradiented) sampler; SH features are a
     # fixed function of ray directions. Zeros are DCE'd when unused.
     return (dW, dphase, dbase, dhead, dsem, dut,
@@ -669,19 +729,17 @@ def _make_fvr_lossgrad_kernel(n_trunk: int, S: int, spg: int,
     def kernel(ut_ref, sht_ref, dt_ref, tm_ref, wspec_ref, phase_ref,
                *refs):
         tw = refs[: 2 * LT]
-        rw = refs[2 * LT : 2 * LT + 6]
-        sw = refs[2 * LT + 6 : 2 * LT + 12]
-        pix_ref = refs[2 * LT + 12]    # [3, 128] per-ray rgb targets
-        dgt_ref = refs[2 * LT + 13]    # [1, 128] depth targets
-        lab_ref = refs[2 * LT + 14]    # [1, 128] f32 semantic labels
-        bkgd_ref = refs[2 * LT + 15]   # [3, 1] background color
-        w_ref = refs[2 * LT + 16]      # out: weights [1, N]
-        lrows_ref = refs[2 * LT + 17]  # out: per-ray loss rows [3, 128]
-        dwspec_ref = refs[2 * LT + 18]
-        dphase_ref = refs[2 * LT + 19]
-        dtw = refs[2 * LT + 20 : 4 * LT + 20]
-        drw = refs[4 * LT + 20 : 4 * LT + 26]
-        dsw = refs[4 * LT + 26 : 4 * LT + 32]
+        hw = refs[2 * LT : 2 * LT + 6]
+        pix_ref = refs[2 * LT + 6]     # [3, 128] per-ray rgb targets
+        dgt_ref = refs[2 * LT + 7]     # [1, 128] depth targets
+        lab_ref = refs[2 * LT + 8]     # [1, 128] f32 semantic labels
+        bkgd_ref = refs[2 * LT + 9]    # [3, 1] background color
+        w_ref = refs[2 * LT + 10]      # out: weights [1, N]
+        lrows_ref = refs[2 * LT + 11]  # out: per-ray loss rows [3, 128]
+        dwspec_ref = refs[2 * LT + 12]
+        dphase_ref = refs[2 * LT + 13]
+        dtw = refs[2 * LT + 14 : 4 * LT + 14]
+        dhw = refs[4 * LT + 14 : 4 * LT + 20]
         bf = jnp.bfloat16
         i = pl.program_id(0)
         first = i == 0
@@ -694,7 +752,7 @@ def _make_fvr_lossgrad_kernel(n_trunk: int, S: int, spg: int,
         shtb = sht_ref[:].astype(bf)
         shb_in = [_dot_nt(shtb, gr[k]).astype(bf) for k in Z]
         f = _field_fwd_chains(ut_ref, shb_in, wspec_ref, phase_ref,
-                              tw, rw, sw, cols, with_preacts=True)
+                              tw, hw, cols, with_preacts=True)
         ltm = _lt_mask(tc, S)
         a, Tr, _, w = _volrend_chains(f["sigma"], dt_ref, cols, ltm)
         for k in Z:
@@ -703,15 +761,30 @@ def _make_fvr_lossgrad_kernel(n_trunk: int, S: int, spg: int,
         # ---- per-ray accumulations for THIS tile's rays (each ray's S
         # samples live entirely inside one tile, so these are the final
         # acc values — same bf16-product/f32-sum rounding as the fwd
-        # kernel's revisited acc block)
-        wb = [w[k].astype(bf) for k in Z]
-        rgbc = csum([_dot((f["rgb"][k] * w[k]).astype(bf), gr[k])
-                     for k in Z])                                  # [3,128]
-        opc = csum([_dot(wb[k], gr[k]) for k in Z])                # [1,128]
-        depc = csum([_dot((w[k] * tm_ref[:, cols[k]]).astype(bf), gr[k])
-                     for k in Z])                                  # [1,128]
-        semc = csum([_dot((f["sem"][k] * w[k]).astype(bf), gr[k])
-                     for k in Z])                                  # [C,128]
+        # kernel's revisited acc block). All channels stack into ONE
+        # [5+C, tc] indicator dot per chain (rows pad to 128 on the MXU
+        # either way — r4i).
+        acc4 = csum(
+            [
+                _dot(
+                    jnp.concatenate(
+                        [
+                            f["rgb"][k] * w[k],
+                            w[k],
+                            w[k] * tm_ref[:, cols[k]],
+                            f["sem"][k] * w[k],
+                        ],
+                        axis=0,
+                    ).astype(bf),
+                    gr[k],
+                )
+                for k in Z
+            ]
+        )
+        rgbc = acc4[0:3]                                           # [3,128]
+        opc = acc4[3:4]                                            # [1,128]
+        depc = acc4[4:5]                                           # [1,128]
+        semc = acc4[5:]                                            # [C,128]
 
         # this tile covers ray columns [base, base+rays_per_tile) of the
         # 128-ray acc block — mask everything ray-local to them
@@ -765,16 +838,17 @@ def _make_fvr_lossgrad_kernel(n_trunk: int, S: int, spg: int,
         g_dnacc = (c_dep * hubd / opc_e) * inblk
         g_semacc = (c_sem * (ex / Zs - onehot)) * inblk
 
-        # broadcast back over lanes (same bf16 rounding class as the
-        # split bwd kernel, which casts the incoming f32 g_acc to bf16)
-        grgbb = g_rgbacc.astype(bf)
-        gopb = g_opacc.astype(bf)
-        gdnb = g_dnacc.astype(bf)
-        gsemb = g_semacc.astype(bf)
-        g_rgb_col = [_dot_nt(grgbb, gr[k]) for k in Z]     # [3, tc] f32
-        gop_col = [_dot_nt(gopb, gr[k]) for k in Z]
-        gdn_col = [_dot_nt(gdnb, gr[k]) for k in Z]
-        gsem_col = [_dot_nt(gsemb, gr[k]) for k in Z]      # [C, tc]
+        # broadcast back over lanes with ONE stacked [5+C, 128] indicator
+        # dot per chain (same bf16 rounding class as the split bwd
+        # kernel, which casts the incoming f32 g_acc to bf16 — r4i)
+        gstk = jnp.concatenate(
+            [g_rgbacc, g_opacc, g_dnacc, g_semacc], axis=0
+        ).astype(bf)
+        gcol = [_dot_nt(gstk, gr[k]) for k in Z]           # [5+C, tc] f32
+        g_rgb_col = [gcol[k][0:3] for k in Z]
+        gop_col = [gcol[k][3:4] for k in Z]
+        gdn_col = [gcol[k][4:5] for k in Z]
+        gsem_col = [gcol[k][5:] for k in Z]                # [C, tc]
 
         g_rgb = [g_rgb_col[k] * w[k] for k in Z]
         g_sem = [gsem_col[k] * w[k] for k in Z]
@@ -788,13 +862,13 @@ def _make_fvr_lossgrad_kernel(n_trunk: int, S: int, spg: int,
             for k in Z
         ]
         da = [
-            dw[k] * Tr[k] * jnp.exp(-a[k]) - _dot_nt(dw[k] * w[k], ltm)
+            dw[k] * Tr[k] * jnp.exp(-a[k]) - _dot_hl(dw[k] * w[k], ltm, nt=True)
             for k in Z
         ]
         dsig = [da[k] * dt_ref[:, cols[k]] for k in Z]
 
         v = _field_bwd_v(f, dsig, g_rgb, g_sem, LT, Z)
-        _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, drw, dsw,
+        _acc_param_grads(first, dwspec_ref, dphase_ref, dtw, dhw,
                          v, LT, wspec_ref.shape[1])
 
     return kernel
@@ -818,7 +892,7 @@ def _call_fvr_lossgrad(ut, sht, dt, tm, wspec, phase2d, tws, rws, sws,
         (d, _RAY_BLOCK), lambda i, _spg=spg: (0, i // _spg),
         memory_space=pltpu.VMEM,
     )
-    ws = list(tws) + list(rws) + list(sws)
+    ws = list(tws) + list(_combine_head_weights(rws, sws))
     acc_shapes = [(3, M), (M, 1)] + [w.shape for w in ws]
     return pl.pallas_call(
         kern,
@@ -873,6 +947,5 @@ def fused_field_volrend_lossgrad(
     dphase = outs[3].reshape(-1).astype(phase.dtype)
     nt = len(tws)
     dbase = _mlp_grads_from_flat(base, outs[4 : 4 + nt], True)
-    dhead = _mlp_grads_from_flat(head, outs[4 + nt : 10 + nt], False)
-    dsem = _mlp_grads_from_flat(sem, outs[10 + nt : 16 + nt], False)
+    dhead, dsem = _split_head_grads(head, sem, outs[4 + nt : 10 + nt])
     return lossrows, w, (dW, dphase, dbase, dhead, dsem)
