@@ -120,13 +120,16 @@ def _lt_mask(tc: int, S: int):
 def _dot_hl(x, ltm, nt: bool = False):
     """f32 [1, tc] × {0,1}-mask matmul at the bf16 MXU rate, ~f32
     accurate: split x = hi + lo (bf16 halves, residual rounded once),
-    run two bf16 passes with f32 accumulation.  Relative error ~2^-17
-    vs f32's 2^-24 — far below the kernel's bf16 rounding class, at
-    1/2 the padded cost of one f32 MXU pass (r4i)."""
+    run ONE bf16 pass with f32 accumulation — hi and lo stack into a
+    [2, tc] operand (any row count ≤128 is one MXU pass, so the stack
+    is free) and the halves re-add after.  Relative error ~2^-17 vs
+    f32's 2^-24 — far below the kernel's bf16 rounding class, at 1/4
+    the padded cost of one f32 MXU pass (r4i)."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     d = _dot_nt if nt else _dot
-    return d(hi, ltm) + d(lo, ltm)
+    r = d(jnp.concatenate([hi, lo], axis=0), ltm)
+    return r[0:1] + r[1:2]
 
 
 def _grel(i, k, tc: int, S: int, spg: int, rays_per_tile: int):
