@@ -550,6 +550,16 @@ class ActiveNeRFMapper:
         # host-side step mirror: reading int(self.state.step) per chunk
         # would force a device sync and serialize chunk dispatch
         step0 = int(self.state.step)
+        # Divergence guard for the final refit: the LR-restarted 5x refit
+        # can collapse a healthy field when the scene aabb is oversized
+        # (measured: replayed-trajectory run, PSNR 16.88 -> 5.98 during the
+        # refit — docs/PERFORMANCE.md "Replayed-trajectory anchor"). Guard
+        # only runs in final_train serial mode, where the per-chunk scalar
+        # readback it needs costs ~30 ms/chunk against a multi-second chunk.
+        guard_on = final_train and not deferred
+        guard_best = None  # lowest chunk-mean loss seen this refit
+        guard_state = None  # state snapshot at guard_best
+        guard_cuts = 0
         while done < steps:
             chunk = min(self.steps_per_call, steps - done)
             keys = jax.random.split(self._next_key(), chunk)
@@ -558,6 +568,50 @@ class ActiveNeRFMapper:
                 ds.camtoworlds, ds.K, pools, counts, size, keys,
                 occ_thre, recent_bias,
             )
+            if guard_on:
+                m = float(jnp.mean(chunk_losses))
+                exploded = (not np.isfinite(m)) or (
+                    guard_best is not None and m > 5.0 * guard_best + 1e-3
+                )
+                if exploded and guard_state is not None:
+                    if guard_cuts >= 2:
+                        print(
+                            f"[divergence-guard] final refit diverged again "
+                            f"(chunk loss {m:.3g} vs best {guard_best:.3g}) "
+                            f"after {guard_cuts} LR cuts — stopping the "
+                            f"refit at the best state (step {done}/{steps})",
+                            flush=True,
+                        )
+                        self.state = guard_state
+                        break
+                    guard_cuts += 1
+                    base_lr = (
+                        cfg.spectral_lr if self.use_prop else cfg.lr
+                    ) * 0.25**guard_cuts
+                    print(
+                        f"[divergence-guard] final refit loss exploded "
+                        f"({m:.3g} vs best {guard_best:.3g}) at step "
+                        f"{done}/{steps} — rolling back to the best state "
+                        f"and restarting the refit schedule at lr "
+                        f"{base_lr:.2e} (cut #{guard_cuts})",
+                        flush=True,
+                    )
+                    sched = multistep_lr(
+                        base_lr, [int(steps * 0.3), int(steps * 0.8)]
+                    )
+                    self.state = reset_opt_state(guard_state, cfg, sched)
+                    if self.mesh is not None:
+                        from ..parallel.mesh import shard_ensemble_state
+
+                        self.state = shard_ensemble_state(
+                            self.state, self.mesh
+                        )
+                    self.train_phase_fn = self._make_phase(cfg, schedule=sched)
+                    self._schedule = sched
+                    continue  # redo this chunk's steps at the cut LR
+                if np.isfinite(m) and (guard_best is None or m < guard_best):
+                    guard_best = m
+                    guard_state = self.state
             losses.append(jnp.mean(chunk_losses, axis=-1))  # [chunk]
             done += chunk
             if self._occ_update_fn is not None:

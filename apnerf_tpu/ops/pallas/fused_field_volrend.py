@@ -129,7 +129,8 @@ def _dot_hl(x, ltm, nt: bool = False):
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     d = _dot_nt if nt else _dot
     r = d(jnp.concatenate([hi, lo], axis=0), ltm)
-    return r[0:1] + r[1:2]
+    n = x.shape[0]  # hi rows [:n], lo rows [n:] — valid for any row count
+    return r[:n] + r[n:]
 
 
 def _grel(i, k, tc: int, S: int, spg: int, rays_per_tile: int):

@@ -61,6 +61,16 @@ def main():
     n = len(sim.pose7s)
     test_idx = np.arange(0, n, max(args.holdout, 2))
     aabb = np.asarray(args.aabb) if args.aabb else sim.aabb_estimate()
+    if args.aabb is None:
+        print(
+            "WARNING: no --aabb given — using an aabb ESTIMATED from the "
+            "recorded camera frustums. Oversized estimates train well but "
+            "have been observed to destabilize the final LR-restarted "
+            "refit (docs/PERFORMANCE.md 'Replayed-trajectory anchor'; the "
+            "mapper's divergence guard will roll back if that happens). "
+            "Pass the scene aabb from the recording's YAML when available.",
+            flush=True,
+        )
     print(f"recording: {n} frames {sim.img_w}x{sim.img_h}, "
           f"{sim.num_semantic_classes} classes, aabb {np.round(aabb, 2)}")
 

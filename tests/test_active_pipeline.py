@@ -317,3 +317,95 @@ def test_resume_continues_training(mapper, tmp_path):
     losses = m2.nerf_training(10, planning_step=1, evaluate=False)
     assert int(m2.state.step) == step_before + 10
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_final_refit_divergence_guard(mapper):
+    """The final refit's divergence guard: a loss explosion mid-refit
+    rolls back to the best state and restarts at a cut LR; a repeat
+    explosion stops the refit at the best state (the replayed-trajectory
+    collapse class, docs/PERFORMANCE.md 16.88 -> 5.98)."""
+    import jax.numpy as jnp
+
+    calls = {"n": 0}
+    good_state = {"v": None}
+    n_ens = mapper.cfg.n_ensembles
+
+    def stub_phase(cfg, schedule=None):
+        def phase(state, *args):
+            keys = args[8]
+            chunk = keys.shape[0]
+            calls["n"] += 1
+            if calls["n"] == 3:
+                # simulate divergence: corrupt params, explode the loss
+                bad = state._replace(
+                    params=jax.tree.map(lambda x: x * jnp.nan, state.params)
+                )
+                return bad, jnp.full((chunk, n_ens), 1e6, jnp.float32)
+            loss = 1.0 - 0.01 * calls["n"]
+            if good_state["v"] is None:
+                good_state["v"] = state
+            return (
+                state._replace(step=state.step + chunk),
+                jnp.full((chunk, n_ens), loss, jnp.float32),
+            )
+
+        return phase
+
+    import jax
+
+    orig = mapper._make_phase
+    orig_fn = mapper.train_phase_fn
+    try:
+        mapper._make_phase = stub_phase
+        losses = mapper.nerf_training(100, final_train=True, evaluate=False)
+        # the exploded chunk was rolled back: no 1e6 entries in the curve,
+        # the refit completed all 100 steps, params are finite
+        assert len(losses) == 100
+        assert max(losses) < 10.0
+        assert calls["n"] >= 5  # 2 good + 1 exploded + redo + rest
+        leaf = jax.tree_util.tree_leaves(mapper.state.params)[0]
+        assert bool(jnp.isfinite(leaf).all())
+    finally:
+        mapper._make_phase = orig
+        mapper.train_phase_fn = orig_fn
+
+
+def test_final_refit_guard_stops_after_repeat_divergence(mapper):
+    """Two LR cuts that both re-diverge stop the refit at the best state
+    instead of shipping a collapsed field."""
+    import jax
+    import jax.numpy as jnp
+
+    calls = {"n": 0}
+    n_ens = mapper.cfg.n_ensembles
+
+    def stub_phase(cfg, schedule=None):
+        def phase(state, *args):
+            keys = args[8]
+            chunk = keys.shape[0]
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                bad = state._replace(
+                    params=jax.tree.map(lambda x: x * jnp.nan, state.params)
+                )
+                return bad, jnp.full((chunk, n_ens), jnp.nan, jnp.float32)
+            return (
+                state._replace(step=state.step + chunk),
+                jnp.full((chunk, n_ens), 0.5, jnp.float32),
+            )
+
+        return phase
+
+    orig = mapper._make_phase
+    orig_fn = mapper.train_phase_fn
+    try:
+        mapper._make_phase = stub_phase
+        losses = mapper.nerf_training(100, final_train=True, evaluate=False)
+        # only the first (good) chunk made it into the curve; the state
+        # the mapper keeps is the pre-divergence one (finite)
+        assert len(losses) < 100
+        leaf = jax.tree_util.tree_leaves(mapper.state.params)[0]
+        assert bool(jnp.isfinite(leaf).all())
+    finally:
+        mapper._make_phase = orig
+        mapper.train_phase_fn = orig_fn
