@@ -103,6 +103,16 @@ class PipelineConfig:
     # (scripts/quality_sweep.py): PSNR 22.4 / depthMSE 0.40 / semAcc 0.971
     # at 6e-3 vs PSNR 20.0 / 0.91 / 0.964 at 3e-3
     spectral_lr: float = 6e-3
+    # cyclic-LR peak decay per cycle (exp_range's gamma, applied per
+    # cycle instead of per step): 1.0 = pure triangular (reference
+    # semantics); <1 shrinks the late-training high-LR excursions that
+    # the PSNR-vs-budget probe implicates in extrapolated-view RGB
+    # degradation (scripts/psnr_probe.py)
+    spectral_lr_gamma: float = 1.0
+    # optional decoupled weight decay on the learnable spectrum (W,
+    # phase) only — damps high-frequency speckle in unobserved regions
+    # without touching the MLP heads (scripts/psnr_probe.py)
+    spectral_spectrum_wd: float = 0.0
     # fully-fused Pallas field kernel: "auto" (on for TPU backend) |
     # "on" | "off" — see models/spectral.py _use_fused_field
     fused_field: str = "auto"

@@ -141,29 +141,11 @@ def hash_encode_ref(
     return jnp.concatenate(feats, axis=-1)
 
 
-def hash_encode(
-    table: jnp.ndarray,  # [L, T, F]
-    x: jnp.ndarray,  # [N, 3] in [0, 1]
-    cfg: HashGridConfig,
-) -> jnp.ndarray:
-    """Encode unit-cube positions → [N, L*F] features (production path).
-
-    Same math as :func:`hash_encode_ref`, restructured for the TPU memory
-    system along two measured rules (scripts/profile_gather.py, v5e):
-
-    1. **N-minor layouts.** Every large intermediate keeps the sample axis
-       N as the minor (lane) dimension — [L, 8, N] indices/weights, [L, 8,
-       N] gathered values. Minor dims of 4 or 8 get padded to the 128-lane
-       tile (a measured 16-32x HBM blowup that OOMed the production step);
-       minor-N arrays tile perfectly.
-    2. **Fenced memory ops.** The per-feature scalar gathers are isolated
-       behind ``optimization_barrier`` so XLA cannot fuse index arithmetic
-       or the trilerp multiply into them (fused gathers/scatters scalarize:
-       13.8 ms vs 0.02 ms per level). The barrier's transpose rule places
-       the same fence before the backward scatter-add.
-    """
-    N = x.shape[0]
-    L, T, F = cfg.n_levels, cfg.table_size, cfg.n_features
+def _corner_indices_and_weights(x: jnp.ndarray, cfg: HashGridConfig):
+    """Flat-table corner indices [L, 8, N] and trilerp weights [L, 8, N]
+    for unit-cube positions x [N, 3] (shared by both production gather
+    shapes). Differentiable w.r.t. x through the weights."""
+    L, T = cfg.n_levels, cfg.table_size
     resolutions = cfg.resolutions  # [L] static numpy
 
     xt = x.T  # [3, N]
@@ -198,10 +180,110 @@ def hash_encode(
             h = h ^ (cz.astype(jnp.uint32) * np.uint32(_PRIMES[2]))
             idx = (h % np.uint32(T)).astype(jnp.int32)
         idx_rows.append(idx + np.int32(lvl) * np.int32(T))
-    idx_all = jnp.stack(idx_rows)  # [L, 8, N]
-    idx_b = jax.lax.optimization_barrier(idx_all)
+    return jnp.stack(idx_rows), weights  # [L, 8, N] each
 
-    # per-feature flat tables [F, L*T]; scalar gathers keep N minor
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _rowgather_interp(flat_rows, idx_all, weights, L, T, F):
+    """Gather [M, F] feature ROWS in one pass and trilerp → [F, L, N].
+
+    The asymmetric core of the r5 hash encode (scripts/
+    profile_rowgather.py, v5e): ONE row gather of the [L*T, F] table is
+    3.2x cheaper than F per-feature scalar gathers (412 vs 1338 ms at the
+    production 33.5M rows) because XLA gather cost is per ROW, flat in
+    row width — but the transposed rule does NOT hold for the backward
+    (a row SCATTER is 7x slower than F per-feature scalar scatter-adds:
+    2732 vs 369 ms), so this custom VJP pairs the row-gather forward
+    with the per-feature scalar-scatter backward instead of letting
+    autodiff transpose the gather.
+    """
+    out, _ = _rowgather_interp_fwd(flat_rows, idx_all, weights, L, T, F)
+    return out
+
+
+def _rowgather_vals(flat_rows, idx_all, L, F):
+    N = idx_all.shape[-1]
+    idx_b = jax.lax.optimization_barrier(idx_all.reshape(-1))  # [M]
+    vals = jax.lax.optimization_barrier(flat_rows[idx_b])  # [M, F]
+    return vals.T.reshape(F, L, 8, N)  # F-major, N minor
+
+
+def _rowgather_interp_fwd(flat_rows, idx_all, weights, L, T, F):
+    vals = _rowgather_vals(flat_rows, idx_all, L, F)
+    out = jnp.sum(weights[None] * vals, axis=2)  # [F, L, N]
+    return out, (flat_rows, idx_all, weights)
+
+
+def _rowgather_interp_bwd(L, T, F, res, g):  # g: [F, L, N]
+    flat_rows, idx_all, weights = res
+    idx_b = jax.lax.optimization_barrier(idx_all.reshape(-1))  # [M]
+    # d_table: per-feature scalar scatter-adds (the measured-fast shape),
+    # each fenced so XLA cannot fuse the weight multiply into the scatter
+    # (fusion scalarizes it — docs/PERFORMANCE.md).
+    wg = weights[None] * g[:, :, None, :]  # [F, L, 8, N]
+    dcols = []
+    for f in range(F):
+        cot = jax.lax.optimization_barrier(wg[f].reshape(-1))
+        dcols.append(
+            jnp.zeros((L * T,), flat_rows.dtype).at[idx_b].add(cot)
+        )
+    d_flat = jnp.stack(dcols).T.reshape(L * T, F)  # [L*T, F]
+    # d_weights (→ dx): needs the gathered values again; recomputed here
+    # and DCE'd by XLA whenever positions are non-differentiable upstream
+    # (the training path: sampled positions carry no parameter gradient).
+    vals = _rowgather_vals(flat_rows, idx_all, L, F)
+    d_weights = jnp.sum(vals * g[:, :, None, :], axis=0)  # [L, 8, N]
+    d_idx = np.zeros(idx_all.shape, dtype=jax.dtypes.float0)
+    return d_flat, d_idx, d_weights
+
+
+_rowgather_interp.defvjp(_rowgather_interp_fwd, _rowgather_interp_bwd)
+
+
+def hash_encode(
+    table: jnp.ndarray,  # [L, T, F]
+    x: jnp.ndarray,  # [N, 3] in [0, 1]
+    cfg: HashGridConfig,
+) -> jnp.ndarray:
+    """Encode unit-cube positions → [N, L*F] features (production path).
+
+    Same math as :func:`hash_encode_ref`, restructured for the TPU memory
+    system along three measured rules (scripts/profile_gather.py,
+    scripts/profile_rowgather.py; v5e):
+
+    1. **N-minor layouts.** Every large intermediate keeps the sample axis
+       N as the minor (lane) dimension — [L, 8, N] indices/weights,
+       F-major gathered values. Minor dims of 4 or 8 get padded to the
+       128-lane tile (a measured 16-32x HBM blowup that OOMed the
+       production step); minor-N arrays tile perfectly.
+    2. **Fenced memory ops.** Gathers/scatters are isolated behind
+       ``optimization_barrier`` so XLA cannot fuse index arithmetic or the
+       trilerp multiply into them (fused gathers/scatters scalarize:
+       13.8 ms vs 0.02 ms per level).
+    3. **Asymmetric gather/scatter shapes** (r5): the forward gathers all
+       F features of each corner as ONE [M, F] row gather (3.2x cheaper
+       than F scalar gathers — gather cost is per row, flat in width);
+       the backward scatters per-feature (a row scatter is 7x SLOWER than
+       F scalar scatter-adds). ``_rowgather_interp``'s custom VJP encodes
+       exactly that pairing. ``APNERF_HASH_ROWGATHER=0`` restores the
+       symmetric per-feature path for A/B.
+    """
+    import os
+
+    N = x.shape[0]
+    L, T, F = cfg.n_levels, cfg.table_size, cfg.n_features
+    idx_all, weights = _corner_indices_and_weights(x, cfg)
+
+    if os.environ.get("APNERF_HASH_ROWGATHER", "1") != "0":
+        flat_rows = table.reshape(L * T, F)  # layout-free view
+        feats = _rowgather_interp(flat_rows, idx_all, weights, L, T, F)
+        return feats.transpose(2, 1, 0).reshape(N, L * F)  # [N, L*F]
+
+    # symmetric per-feature path (pre-r5 production; kept for A/B)
+    idx_b = jax.lax.optimization_barrier(idx_all)
     flat = table.transpose(2, 0, 1).reshape(F, L * T)
     feats = []
     for f in range(F):

@@ -143,6 +143,12 @@ class FakeSim:
         self._rng = np.random.RandomState(seed)
         self.visited: List[np.ndarray] = []
         self.num_semantic_classes = max(b.sem for b in self.boxes) + 1
+        # box-stacked constants for the vectorized caster
+        self._mns = np.stack([b.mn for b in self.boxes])  # [B, 3]
+        self._mxs = np.stack([b.mx for b in self.boxes])  # [B, 3]
+        self._colors = np.stack([b.color for b in self.boxes])  # [B, 3]
+        self._sems = np.array([b.sem for b in self.boxes], dtype=np.int32)
+        self._tex = np.array([b.tex_freq for b in self.boxes])
 
     # ---- core ray casting ----
 
@@ -157,29 +163,46 @@ class FakeSim:
         return np.broadcast_to(c2w[:3, 3], dirs.shape), dirs / norm
 
     def render_pose(self, pose7: np.ndarray):
-        """→ (rgb [H,W,4] uint8, depth [H,W] f32, sem [H,W] int32)."""
+        """→ (rgb [H,W,4] uint8, depth [H,W] f32, sem [H,W] int32).
+
+        Box-stacked, pixel-chunked slab test. Bit-identical to the
+        original per-box sequential update (tested): origins are constant
+        per frame so ``(box.mn - origins) * inv == (box.mn - o) * inv``
+        exactly, and the sequential rule "strictly closer box wins, first
+        box wins ties" is exactly ``argmin`` over the box axis (first
+        minimal index). Vectorizing this host-side caster matters because
+        FakeSim rendering is ~90% of a planning step's wall-clock
+        (docs/PERFORMANCE.md "Overlapped planning loop")."""
         c2w = pose_matrix_from_quat(pose7[:3], pose7[3:])
         origins, dirs = self._pixel_rays(c2w)
         n = origins.shape[0]
-        best_t = np.full(n, np.inf)
-        best_box = np.full(n, -1, dtype=np.int32)
+        o = c2w[:3, 3].astype(np.float64)  # == every row of `origins`
+        c0 = self._mns - o  # [B, 3]
+        c1 = self._mxs - o  # [B, 3]
+        best_t = np.empty(n)
+        best_box = np.empty(n, dtype=np.int32)
         inv = 1.0 / np.where(np.abs(dirs) > 1e-12, dirs, 1e-12)
-        for bi, box in enumerate(self.boxes):
-            t0 = (box.mn - origins) * inv
-            t1 = (box.mx - origins) * inv
-            tmin = np.max(np.minimum(t0, t1), axis=-1)
+        chunk = 1 << 16  # bounds the [B, chunk, 3] temporaries
+        for s in range(0, n, chunk):
+            inv_c = inv[s:s + chunk]  # [n_c, 3]
+            t0 = c0[:, None, :] * inv_c[None, :, :]  # [B, n_c, 3]
+            t1 = c1[:, None, :] * inv_c[None, :, :]
+            tmin = np.max(np.minimum(t0, t1), axis=-1)  # [B, n_c]
             tmax = np.min(np.maximum(t0, t1), axis=-1)
-            hit = (tmax > np.maximum(tmin, 1e-4)) & (tmin < best_t)
+            valid = tmax > np.maximum(tmin, 1e-4)
             t_entry = np.where(tmin > 1e-4, tmin, tmax)  # inside-box: exit
-            hit &= t_entry < best_t
-            best_t = np.where(hit, t_entry, best_t)
-            best_box = np.where(hit, bi, best_box)
+            t_entry = np.where(valid, t_entry, np.inf)
+            bb = np.argmin(t_entry, axis=0).astype(np.int32)  # first min
+            bt = t_entry[bb, np.arange(bb.shape[0])]
+            best_box[s:s + chunk] = np.where(np.isinf(bt), -1, bb)
+            best_t[s:s + chunk] = bt
+        best_t = np.where(best_box < 0, np.inf, best_t)
 
         miss = best_box < 0
-        colors = np.array([b.color for b in self.boxes])
-        sems = np.array([b.sem for b in self.boxes], dtype=np.int32)
+        colors = self._colors
+        sems = self._sems
         rgb = np.where(miss[:, None], self.bkgd, colors[best_box])
-        tex_freqs = np.array([b.tex_freq for b in self.boxes])
+        tex_freqs = self._tex
         if np.any(tex_freqs > 0):
             # view-consistent 3D checkerboard on the hit point (hard_room
             # scenes): exact, deterministic high-frequency detail

@@ -43,6 +43,7 @@ def default_spectral_schedule(cfg: PipelineConfig):
     return cyclic_lr(
         cfg.spectral_lr / 10.0, cfg.spectral_lr,
         max(cfg.training_steps // 4, 1),
+        gamma=cfg.spectral_lr_gamma,
     )
 
 

@@ -13,12 +13,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def cyclic_lr(base_lr: float, max_lr: float, step_size_up: int):
+def cyclic_lr(base_lr: float, max_lr: float, step_size_up: int,
+              gamma: float = 1.0):
+    """``gamma`` < 1 decays the triangular peak per CYCLE (CyclicLR's
+    exp_range decays per step; per-cycle keeps the waveform shape while
+    shrinking late-training high-LR excursions — the PSNR-vs-budget
+    probe knob, scripts/psnr_probe.py)."""
+
     def schedule(count):
         count = jnp.asarray(count, dtype=jnp.float32)
         cycle = jnp.floor(1.0 + count / (2.0 * step_size_up))
         x = jnp.abs(count / step_size_up - 2.0 * cycle + 1.0)
-        return base_lr + (max_lr - base_lr) * jnp.maximum(0.0, 1.0 - x)
+        amp = (max_lr - base_lr) * jnp.power(gamma, cycle - 1.0)
+        return base_lr + amp * jnp.maximum(0.0, 1.0 - x)
 
     return schedule
 

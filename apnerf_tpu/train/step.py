@@ -78,6 +78,29 @@ def make_optimizer(cfg: PipelineConfig, schedule: Optional[Callable] = None):
         return optax.adamw(
             schedule, eps=cfg.adam_eps, weight_decay=cfg.weight_decay
         )
+    if getattr(cfg, "spectral_spectrum_wd", 0.0) > 0:
+        # decoupled weight decay on the learnable SPECTRUM only (the
+        # flagship's params["main"]["W"/"phase"]) — high-frequency bands
+        # that keep growing speckle unobserved regions; the MLPs and the
+        # proposal field are untouched (scripts/psnr_probe.py)
+        def spectrum_mask(params):
+            def walk(tree, inside):
+                return {
+                    k: (walk(v, inside or k == "main")
+                        if isinstance(v, dict)
+                        else inside and k in ("W", "phase"))
+                    for k, v in tree.items()
+                }
+
+            return walk(params, False)
+
+        return optax.chain(
+            optax.scale_by_adam(eps=cfg.adam_eps),
+            optax.add_decayed_weights(
+                cfg.spectral_spectrum_wd, mask=spectrum_mask
+            ),
+            optax.scale_by_learning_rate(schedule),
+        )
     return optax.adam(schedule, eps=cfg.adam_eps)
 
 

@@ -78,6 +78,7 @@ def test_initialization(mapper):
     assert mapper.visiting_map.sum() > 0
 
 
+@pytest.mark.slow
 def test_training_reduces_loss_and_evaluates(mapper):
     losses = mapper.nerf_training(60, initial_train=True, planning_step=-1)
     assert losses[-1] < losses[0]
@@ -97,6 +98,7 @@ def test_uncertainty_scoring(mapper):
     assert len(comps) == 4 and all(np.isfinite(c) for c in comps)
 
 
+@pytest.mark.slow
 def test_planning_loop_and_artifacts(mapper):
     n_before = len(mapper.train_dataset)
     # like the reference, the loop runs cfg.planning_step steps (=2 here)
@@ -154,6 +156,7 @@ def test_checkpoint_roundtrip(mapper):
     assert int(m2.state.step) == int(mapper.state.step)
 
 
+@pytest.mark.slow
 def test_mapper_ngp_occ_parity_path(tmp_path):
     """The reference-parity configuration (NGP hash field + occupancy-grid
     marching) drives the full mapper END-TO-END: train, eval, the whole
@@ -211,6 +214,7 @@ def test_mapper_ngp_occ_parity_path(tmp_path):
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.slow
 def test_mesh_mapper_e2e(tmp_path):
     """The mesh-mode mapper (sharded flagship phase + sharded candidate
     renderer) runs the full planning loop on the 8-virtual-CPU mesh and
@@ -255,6 +259,7 @@ def test_mesh_mapper_e2e(tmp_path):
     assert shard_shape[0] == 1
 
 
+@pytest.mark.slow
 def test_mesh_mapper_occ_path(tmp_path):
     """Mesh mode on the reference-parity path (NGP hash + occ lattice):
     the sharded occ phase drives train + planning end-to-end on the
@@ -297,6 +302,7 @@ def test_mesh_mapper_occ_path(tmp_path):
     assert shard_shape[0] == 1
 
 
+@pytest.mark.slow
 def test_resume_continues_training(mapper, tmp_path):
     """Kill-and-resume: a freshly constructed mapper that loads the
     checkpoint can keep training (Adam moments intact, loss finite)."""

@@ -183,3 +183,35 @@ def test_spectral_encode_custom_vjp_matches_autodiff():
     np.testing.assert_allclose(
         np.asarray(gv), np.asarray(gr), rtol=1e-5, atol=1e-5
     )
+
+
+def test_hashgrid_rowgather_matches_per_feature_path(monkeypatch):
+    """The r5 row-gather forward + per-feature-scatter backward custom VJP
+    must match the symmetric per-feature path exactly — values, table
+    grads, AND position grads (d_weights is hand-built in the VJP)."""
+    import jax
+
+    cfg = hashgrid.HashGridConfig(
+        n_levels=4, n_features=4, log2_table_size=10,
+        base_resolution=4, max_resolution=64,
+    )
+    table = hashgrid.init_hash_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=0.01,
+                           maxval=0.99)
+
+    def run():
+        enc = hashgrid.hash_encode(table, x, cfg)
+        gt, gx = jax.grad(
+            lambda t, xx: (hashgrid.hash_encode(t, xx, cfg) ** 2).sum(),
+            argnums=(0, 1),
+        )(table, x)
+        return enc, gt, gx
+
+    monkeypatch.setenv("APNERF_HASH_ROWGATHER", "1")
+    enc_a, gt_a, gx_a = run()
+    monkeypatch.setenv("APNERF_HASH_ROWGATHER", "0")
+    enc_b, gt_b, gx_b = run()
+
+    np.testing.assert_allclose(enc_a, enc_b, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gt_a, gt_b, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(gx_a, gx_b, rtol=1e-4, atol=1e-5)

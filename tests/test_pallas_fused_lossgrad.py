@@ -126,6 +126,7 @@ def test_lossgrad_matches_autodiff(layers):
                                    err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_member_core_fused_branch_matches_autodiff(monkeypatch):
     """make_flagship_member_core's combined-kernel branch vs its autodiff
     branch: same loss/aux and parameter updates (same RNG, same batch)."""

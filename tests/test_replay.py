@@ -86,6 +86,7 @@ def test_replay_facade_surface(recording):
     assert uv.shape == (2,)
 
 
+@pytest.mark.slow
 def test_mapper_runs_on_replay(recording, tmp_path):
     """Full active loop against the recording: every supervised pose is a
     recorded camera, planning + retraining complete, metrics finite."""

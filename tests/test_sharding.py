@@ -27,6 +27,7 @@ def test_make_mesh_shapes():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """The sharded step must produce the same losses as the unsharded one
     (same RNG, same data) — sharding is layout, not math."""
@@ -105,6 +106,7 @@ def test_state_placement():
 
 
 @requires_8
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
@@ -112,6 +114,7 @@ def test_dryrun_multichip_entrypoint():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_occ_phase_matches_single_device():
     """Sharded occ-path phase (hash NGP + lattice march) == unsharded
     phase, same RNG/data — mesh mode for the reference-parity path."""
@@ -214,6 +217,7 @@ def test_sharded_flagship_phase_matches_single_device():
 
 
 @requires_8
+@pytest.mark.slow
 def test_shardmap_flagship_phase_matches_single_device():
     """The shard_map phase (manual pmean collectives, pallas-compatible)
     must match the unsharded flagship phase bit-for-bit in structure:
@@ -283,6 +287,7 @@ def test_shardmap_flagship_phase_matches_single_device():
 
 
 @requires_8
+@pytest.mark.slow
 def test_shardmap_phase_runs_with_fused_field():
     """Mesh mode no longer forces the fused Pallas field off (VERDICT r3
     #5): the shard_map phase runs the kernel per-device. On CPU the kernel
@@ -330,6 +335,7 @@ def test_shardmap_phase_runs_with_fused_field():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_candidate_renderer_matches_unsharded():
     """Candidate-view rendering sharded over (ens, data) equals the plain
     per-member render (layout, not math)."""
