@@ -228,10 +228,18 @@ def run_path_chained(field_type, sampler_type, steps, img, chain, seed=9,
     if preset:
         base += ["--preset", preset]
 
+    env = dict(os.environ)
+    # persistent compile cache: every chain worker re-traces the same
+    # phase program; without this each process pays the ~8 min remote
+    # compile again (harmless no-op if the backend ignores it)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(out, "jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
     def spawn(mode, seed_i):
         cmd = base + ["--worker", mode, "--seed", str(seed_i)]
         try:
-            r = subprocess.run(cmd, timeout=worker_timeout)
+            r = subprocess.run(cmd, timeout=worker_timeout, env=env)
             return r.returncode
         except subprocess.TimeoutExpired:
             print("   worker TIMED OUT (wedged tunnel?) — killed",
