@@ -129,15 +129,29 @@ def make_flagship_member_core(
         from ..ops.volrend import render_weight_from_density
         from ..render.prop_renderer import prop_sample_intervals
 
-        t0, t1, _, pos, miss, levels = prop_sample_intervals(
-            lambda p_: spectral.query_density_field(
-                params["prop"], p_cfg, p_
-            ),
-            batch.origins, batch.viewdirs, aabb, k_samp,
-            num_samples=cfg.max_samples_train,
-            num_prop_samples=cfg.num_prop_samples,
-            near_plane=cfg.near_plane, stratified=True,
-        )
+        def _sample(pp):
+            t0, t1, _, pos, miss, levels = prop_sample_intervals(
+                lambda p_: spectral.query_density_field(pp, p_cfg, p_),
+                batch.origins, batch.viewdirs, aabb, k_samp,
+                num_samples=cfg.max_samples_train,
+                num_prop_samples=cfg.num_prop_samples,
+                near_plane=cfg.near_plane, stratified=True,
+            )
+            t_edges0, w_prop = levels[0]
+            aux = (t0, t1, pos, miss, jax.lax.stop_gradient(t_edges0))
+            return w_prop, aux
+
+        if os.environ.get("APNERF_PROP_REUSE", "0") == "1":
+            # reuse the sampling forward for the prop grads: record a vjp
+            # through propnet_sampling's own level-0 weights instead of
+            # re-evaluating the prop MLP at the same midpoints (plfn below
+            # runs the identical ops a second time; r5 probe)
+            w_prop, pullback, (t0, t1, pos, miss, t_edges0) = jax.vjp(
+                _sample, params["prop"], has_aux=True
+            )
+        else:
+            w_prop, (t0, t1, pos, miss, t_edges0) = _sample(params["prop"])
+            pullback = None
         lossrows, weights, main_grads = spectral.forward_packed_lossgrad(
             params["main"], s_cfg, pos, batch.viewdirs, t0, t1, miss,
             batch.pixels, batch.depth, batch.sem, batch.color_bkgd,
@@ -146,22 +160,31 @@ def make_flagship_member_core(
         l_rgb = jnp.sum(lossrows[0]) / (3.0 * R)
         l_dep = jnp.sum(lossrows[1]) / R
         l_sem = jnp.sum(lossrows[2]) / R
-        t_edges0, _ = levels[0]
-        te0, te1 = t_edges0[..., :-1], t_edges0[..., 1:]
-        tm0 = 0.5 * (te0 + te1)
-        pos0 = (
-            batch.origins[:, None, :]
-            + tm0[..., None] * batch.viewdirs[:, None, :]
-        )
 
-        def plfn(pp):
-            sig = spectral.query_density_field(pp, p_cfg, pos0)[..., 0]
-            wp, _, _ = render_weight_from_density(te0, te1, sig)
-            return prop_loss(
-                [(t_edges0, wp)], t0, t1, weights, use_onehot=True
+        if pullback is not None:
+            def ploss_of_w(wp):
+                return prop_loss(
+                    [(t_edges0, wp)], t0, t1, weights, use_onehot=True
+                )
+
+            p_loss, dw = jax.value_and_grad(ploss_of_w)(w_prop)
+            (prop_grads,) = pullback(dw)
+        else:
+            te0, te1 = t_edges0[..., :-1], t_edges0[..., 1:]
+            tm0 = 0.5 * (te0 + te1)
+            pos0 = (
+                batch.origins[:, None, :]
+                + tm0[..., None] * batch.viewdirs[:, None, :]
             )
 
-        p_loss, prop_grads = jax.value_and_grad(plfn)(params["prop"])
+            def plfn(pp):
+                sig = spectral.query_density_field(pp, p_cfg, pos0)[..., 0]
+                wp, _, _ = render_weight_from_density(te0, te1, sig)
+                return prop_loss(
+                    [(t_edges0, wp)], t0, t1, weights, use_onehot=True
+                )
+
+            p_loss, prop_grads = jax.value_and_grad(plfn)(params["prop"])
         loss = (
             l_rgb * 10.0 + l_dep / 5.0 + l_sem / 2.0
             + cfg.prop_loss_weight * p_loss

@@ -34,6 +34,10 @@ PROBES = {
     "gamma0.8": {"spectral_lr_gamma": 0.8},
     "gamma0.5": {"spectral_lr_gamma": 0.5},
     "wd1e-5": {"weight_decay": 1e-5},
+    # masked decoupled decay on the spectrum W/phase only (the
+    # high-frequency bands a far-extrapolated view sees as speckle);
+    # MLPs + proposal field untouched (train/step.py make_optimizer)
+    "specwd1e-4": {"spectral_spectrum_wd": 1e-4},
 }
 
 

@@ -207,3 +207,60 @@ def test_use_packed_lossgrad_gate(monkeypatch):
     # no semantic classes -> the in-kernel CE cannot apply
     cfg_nosem = _cfg(num_semantic_classes=0)
     assert not spectral.use_packed_lossgrad(cfg_nosem, params, R, S)
+
+
+@pytest.mark.slow
+def test_prop_reuse_matches_recompute(monkeypatch):
+    """APNERF_PROP_REUSE=1 (vjp through the sampling forward) must match
+    the recompute path (a second prop-MLP eval at the same level-0
+    midpoints) — identical ops, so loss and updated prop params agree
+    tightly."""
+    from apnerf_tpu.config import PipelineConfig
+    from apnerf_tpu.data.dataset import RayBatch
+    from apnerf_tpu.train.flagship import (
+        init_flagship_ensemble,
+        make_flagship_member_core,
+    )
+
+    cfg = PipelineConfig(
+        aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+        img_w=32, img_h=32, num_rays=128, max_samples_train=8,
+        num_prop_samples=8, num_semantic_classes=5, n_ensembles=1,
+        max_images=4, n_levels=4, spectral_freqs_per_level=2,
+        base_resolution=4, max_resolution=32, spectral_neurons=32,
+        spectral_layers=3, geo_feat_dim=7,
+    )
+    state = init_flagship_ensemble(jax.random.PRNGKey(0), cfg)
+    p0 = jax.tree.map(lambda x: x[0], state.params)
+    o0 = jax.tree.map(lambda x: x[0], state.opt_state)
+    occ0 = jax.tree.map(lambda x: x[0], state.occ)
+    keys = jax.random.split(jax.random.PRNGKey(5), 6)
+    origins = jax.random.uniform(keys[0], (128, 3), minval=-2, maxval=2)
+    vd = jax.random.normal(keys[1], (128, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    batch = RayBatch(
+        origins=origins, viewdirs=vd,
+        pixels=jax.random.uniform(keys[2], (128, 3)),
+        depth=jax.random.uniform(keys[3], (128,), minval=0.1, maxval=3.0),
+        sem=jax.random.randint(keys[4], (128,), 0, 5),
+        color_bkgd=jnp.ones(3),
+    )
+    args = (p0, o0, occ0, batch, keys[5], jnp.asarray(0), jnp.asarray(1e-3))
+
+    monkeypatch.setenv("APNERF_FUSED_LOSSGRAD", "1")
+    monkeypatch.setenv("APNERF_FUSED_VR", "1")
+    monkeypatch.setenv("APNERF_PROP_REUSE", "0")
+    out_rec = make_flagship_member_core(cfg)(*args)
+    monkeypatch.setenv("APNERF_PROP_REUSE", "1")
+    out_reuse = make_flagship_member_core(cfg)(*args)
+
+    np.testing.assert_allclose(
+        np.asarray(out_reuse[3]), np.asarray(out_rec[3]), rtol=1e-5,
+        err_msg="loss",
+    )
+    flat_rec = dict(jax.tree_util.tree_leaves_with_path(out_rec[0]["prop"]))
+    for path, a in jax.tree_util.tree_leaves_with_path(out_reuse[0]["prop"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat_rec[path]), rtol=1e-4,
+            atol=1e-6, err_msg=str(path),
+        )
