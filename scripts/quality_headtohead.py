@@ -165,6 +165,7 @@ def worker_main(args):
         assert int(mapper.state.step) == st["done"], (
             int(mapper.state.step), st["done"])
 
+    until = args.until or args.steps
     if args.worker == "eval":
         mapper._evaluate(-1)
         _, p, dmse, ce = mapper.errors_hist[-1]
@@ -179,7 +180,7 @@ def worker_main(args):
               flush=True)
         return
 
-    target = min(st["done"] + args.chain, args.steps)
+    target = min(st["done"] + args.chain, until)
     t0 = time.perf_counter()
     while st["done"] < target:
         sl = min(100, target - st["done"])
@@ -210,9 +211,15 @@ def _health_check(timeout_s=420):
 
 def run_path_chained(field_type, sampler_type, steps, img, chain, seed=9,
                      scene="fake", preset=None, out=None,
-                     worker_timeout=None):
+                     worker_timeout=None, until=0):
+    """``until`` (0 = steps): train/eval milestone for THIS driver run —
+    the worker still builds its mapper (and so the LR schedule) from the
+    full ``steps`` budget, so staged invocations (--until 500, then 1000,
+    then 2000 on the same --out) produce the identical trajectory to one
+    uninterrupted run, with intermediate metrics at each stage."""
     import subprocess
 
+    until = until or steps
     out = out or tempfile.mkdtemp(prefix=f"h2hchain_{field_type}_")
     os.makedirs(out, exist_ok=True)
     state_path = os.path.join(out, "chain_state.json")
@@ -222,7 +229,7 @@ def run_path_chained(field_type, sampler_type, steps, img, chain, seed=9,
     base = [
         sys.executable, "-u", os.path.abspath(__file__),
         "--img", str(img), "--steps", str(steps), "--scene", scene,
-        "--chain", str(chain), "--out", out,
+        "--chain", str(chain), "--out", out, "--until", str(until),
         "--worker-field", field_type, "--worker-sampler", sampler_type,
     ]
     if preset:
@@ -250,7 +257,7 @@ def run_path_chained(field_type, sampler_type, steps, img, chain, seed=9,
     attempt = 0
     while True:
         st = _read_json(state_path) or {"done": 0, "train_s": 0.0}
-        if st["done"] >= steps:
+        if st["done"] >= until:
             break
         attempt += 1
         print(f"-- chain worker {attempt}: steps {st['done']}->"
@@ -279,9 +286,11 @@ def run_path_chained(field_type, sampler_type, steps, img, chain, seed=9,
     for _ in range(6):
         rc = spawn("eval", seed)
         m = _read_json(metrics_path)
-        if rc == 0 and m is not None:
-            st = _read_json(state_path)
-            sps = (steps * 2 * 2048 * 128 / st["train_s"]
+        st = _read_json(state_path)
+        # m["steps"] guards against a stale metrics.json from an earlier
+        # --until stage in the same --out dir
+        if rc == 0 and m is not None and m.get("steps") == st["done"]:
+            sps = (st["done"] * 2 * 2048 * 128 / st["train_s"]
                    if preset != "cpu-tiny" and st["train_s"] else
                    float("nan"))
             return dict(
@@ -308,6 +317,12 @@ def main():
                     "budget; docs/PERFORMANCE.md)")
     ap.add_argument("--out", default=None,
                     help="chain state dir (resumable across driver runs)")
+    ap.add_argument("--until", type=int, default=0,
+                    help="chain mode: train/eval milestone for THIS "
+                    "driver run (0 = --steps). The LR schedule always "
+                    "derives from --steps, so staged runs (--until 500, "
+                    "then 1000, then 2000 on the same --out) reproduce "
+                    "one uninterrupted run with intermediate metrics")
     ap.add_argument("--seed", type=int, default=9)
     ap.add_argument("--worker", default=None, choices=(None, "train",
                                                        "eval"))
@@ -369,7 +384,10 @@ def main():
                 r = run_path_chained(
                     f, s, steps, args.img, args.chain, seed=args.seed,
                     scene=args.scene, preset=args.preset, out=args.out,
+                    until=args.until,
                 )
+                if args.until and args.until != steps:
+                    r["path"] = f"{r['path']}[{args.until}/{steps}sched]"
             else:
                 r = run_path(f, s, steps, args.img, seed=args.seed,
                              scene=args.scene,
