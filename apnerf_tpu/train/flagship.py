@@ -205,13 +205,19 @@ def make_flagship_member_core(
         _, k_samp = jax.random.split(k_occ)
 
         def finish(loss, aux, grads):
-            """NaN-guarded Adam step shared by both train branches."""
-            flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
-            bad = ~jnp.all(jnp.isfinite(flat_grads))
-            safe_grads = jax.tree.map(jnp.nan_to_num, grads)
-            updates, new_opt_state = opt.update(
-                safe_grads, opt_state, params
+            """NaN-guarded Adam step shared by both train branches.
+
+            The guard is reduction-only: no ravel_pytree concat and no
+            nan_to_num sanitize copy of the full gradient (2 avoidable
+            full-gradient HBM round-trips per step). A non-finite grad
+            leaf poisons updates/new_opt_state/new_params, but ``keep``
+            below discards ALL of them when ``bad`` — jnp.where selects
+            the clean old value elementwise, so no NaN survives."""
+            bad = ~jax.tree_util.tree_reduce(
+                lambda acc, leaf: acc & jnp.all(jnp.isfinite(leaf)),
+                grads, jnp.bool_(True),
             )
+            updates, new_opt_state = opt.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             keep = lambda new, old: jax.tree.map(
                 lambda a, b: jnp.where(bad, b, a), new, old

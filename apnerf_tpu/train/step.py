@@ -185,10 +185,14 @@ def make_member_core(cfg: PipelineConfig, schedule: Optional[Callable] = None):
         # optimizer state untouched (the reference also skips the scheduler
         # tick; here LR is indexed by the shared step counter — documented
         # deviation, identical when no step is ever skipped).
-        flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
-        bad = ~jnp.all(jnp.isfinite(flat_grads))
-        safe_grads = jax.tree.map(jnp.nan_to_num, grads)
-        updates, new_opt_state = opt.update(safe_grads, opt_state, params)
+        # Reduction-only guard (no ravel_pytree concat, no nan_to_num
+        # sanitize copy): a non-finite leaf poisons the whole update, but
+        # ``keep`` discards every poisoned output when ``bad``.
+        bad = ~jax.tree_util.tree_reduce(
+            lambda acc, leaf: acc & jnp.all(jnp.isfinite(leaf)),
+            grads, jnp.bool_(True),
+        )
+        updates, new_opt_state = opt.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         keep = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(bad, b, a), new, old

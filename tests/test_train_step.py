@@ -103,6 +103,44 @@ def test_train_step_runs_and_learns():
     assert int(state.step) == 30
 
 
+def test_nan_grad_step_is_skipped():
+    """Inject a NaN into member 1's params: its grads go non-finite, the
+    step must be flagged skipped and leave that member's params AND
+    optimizer state bit-identical (pipeline.py:518-532 semantics), while
+    member 0 still trains. Locks the reduction-only guard (no
+    nan_to_num): NaN updates must not leak through the keep-select."""
+    cfg = tiny_cfg()
+    ds = RayDataset(
+        training=True, num_rays=cfg.num_rays, num_models=cfg.n_ensembles,
+        width=cfg.img_w, height=cfg.img_h, max_images=cfg.max_images,
+    )
+    ds.update_data(*synthetic_obs(4, cfg.img_h, cfg.img_w))
+    state = init_ensemble(jax.random.PRNGKey(0), cfg)
+    w = np.array(state.params["mlp_base"]["w0"])
+    w[1].flat[0] = np.nan
+    params = dict(state.params)
+    params["mlp_base"] = dict(state.params["mlp_base"], w0=jnp.asarray(w))
+    state = state._replace(params=params)
+    mu_before = np.array(state.opt_state[0].mu["mlp_base"]["w0"])
+
+    step_fn = make_train_step(cfg)
+    idx = jnp.asarray(ds.sample_image_indices(False, cfg.sample_disc))
+    out = step_fn(
+        state, ds.images, ds.depths, ds.semantics, ds.camtoworlds, ds.K,
+        idx, jax.random.PRNGKey(3), jnp.asarray(1e-3),
+    )
+    skipped = np.array(out.skipped)
+    assert skipped[1], "poisoned member must skip"
+    assert not skipped[0], "clean member must train"
+    w_after = np.array(out.state.params["mlp_base"]["w0"])
+    np.testing.assert_array_equal(w_after[1], w[1])  # untouched (NaN stays)
+    assert not np.array_equal(w_after[0], w[0])  # member 0 updated
+    mu_after = np.array(out.state.opt_state[0].mu["mlp_base"]["w0"])
+    np.testing.assert_array_equal(mu_after[1], mu_before[1])
+    assert np.isfinite(mu_after).all()  # no NaN leaked into Adam moments
+    assert not np.array_equal(mu_after[0], mu_before[0])
+
+
 def test_ensemble_members_diverge():
     cfg = tiny_cfg()
     state = init_ensemble(jax.random.PRNGKey(0), cfg)
