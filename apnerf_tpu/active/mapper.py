@@ -332,31 +332,98 @@ class ActiveNeRFMapper:
 
         ngp_cfg = self.ngp_cfg
 
+        def _member_view(p, o, ro, rd, bkgd):
+            def field_fn(pos, dirs):
+                return ngp.forward(p, ngp_cfg, pos, dirs)
+
+            return render_rays(
+                field_fn, ro, rd, o, lattice, max_samples,
+                render_bkgd=bkgd, alpha_thre=cfg.alpha_thre,
+                occ_mean=jnp.mean(o.occs),
+                with_variance=with_variance,
+            )
+
         @jax.jit
         def render_jit(params, occ, origins, viewdirs, bkgd):
             # origins/viewdirs: [V, P, 3]; map over views to bound memory,
             # vmap over ensemble members.
             def member(p, o):
-                def field_fn(pos, dirs):
-                    return ngp.forward(p, ngp_cfg, pos, dirs)
-
                 def one_view(rays):
                     ro, rd = rays
-                    return render_rays(
-                        field_fn, ro, rd, o, lattice, max_samples,
-                        render_bkgd=bkgd, alpha_thre=cfg.alpha_thre,
-                        occ_mean=jnp.mean(o.occs),
-                        with_variance=with_variance,
-                    )
+                    return _member_view(p, o, ro, rd, bkgd)
 
                 return jax.lax.map(one_view, (origins, viewdirs))
 
             return jax.vmap(member)(params, occ)
 
+        @jax.jit
+        def render_one_view_jit(params, occ, ro, rd, bkgd):
+            return jax.vmap(
+                lambda p, o: _member_view(p, o, ro, rd, bkgd)
+            )(params, occ)
+
+        # APNERF_EVAL_SPLIT=1: jit ONE view at a time (Python loop over
+        # views) instead of the all-views program — 16x smaller HLO. The
+        # remote tpu_compile_helper gets OOM-killed (SIGKILL) compiling the
+        # full vmap(members) x lax.map(views) hash-march eval program on
+        # this part; per-view programs compile. Same math, same output
+        # pytree ([E, V, ...] leaves), more dispatches — eval-cadence only.
+        #
+        # APNERF_EVAL_RAY_CHUNK=N (with SPLIT=1): additionally dispatch N
+        # rays at a time within each view and read each chunk back to host
+        # immediately. The hash-encode gather fault is probabilistic per
+        # gather volume (docs/PERFORMANCE.md "occ-path TPU fault"); a full
+        # 160^2x256-sample view is one ~1.7e9-row program — past the
+        # measured fault threshold — while 3200-ray chunks (~210M rows)
+        # match the surviving 3-5-step train-chunk volume, and the per-
+        # chunk readback surfaces a worker crash as an exception instead
+        # of a wedged tunnel.
+        split_views = os.environ.get("APNERF_EVAL_SPLIT", "0") == "1"
+        ray_chunk = int(os.environ.get("APNERF_EVAL_RAY_CHUNK", "0"))
+
+        def _one_view_host(params, occ, ro, rd, bkgd):
+            import numpy as np_
+
+            if not ray_chunk or ro.shape[0] <= ray_chunk:
+                return jax.tree.map(
+                    np_.asarray,
+                    render_one_view_jit(params, occ, ro, rd, bkgd),
+                )
+            parts = [
+                jax.tree.map(
+                    np_.asarray,
+                    render_one_view_jit(
+                        params, occ, ro[i : i + ray_chunk],
+                        rd[i : i + ray_chunk], bkgd,
+                    ),
+                )
+                for i in range(0, ro.shape[0], ray_chunk)
+            ]
+
+            def merge(*xs):
+                if xs[0].ndim == 1:  # n_samples [E]
+                    return sum(xs)
+                return np_.concatenate(xs, axis=1)
+
+            return jax.tree.map(merge, *parts)
+
         def render(params, occ, origins, viewdirs, bkgd, key=None):
             # lattice marching is deterministic (test-mode); key accepted
             # for signature parity with the flagship renderer
             del key
+            if split_views:
+                outs = [
+                    _one_view_host(
+                        params, occ, origins[v], viewdirs[v], bkgd
+                    )
+                    for v in range(origins.shape[0])
+                ]
+                # host-side stack: every downstream consumer
+                # (_evaluate_finish, viz dumps) converts to numpy anyway
+                return jax.tree.map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs], axis=1),
+                    *outs,
+                )
             return render_jit(params, occ, origins, viewdirs, bkgd)
 
         return render

@@ -167,7 +167,50 @@ def worker_main(args):
 
     until = args.until or args.steps
     if args.worker == "eval":
-        mapper._evaluate(-1)
+        # Per-view resumable eval: the hash path's total eval gather
+        # volume (~27e9 rows at 16 views x 160^2 x 256 samples x 2
+        # members) is ~4x the measured per-process crash budget
+        # (docs/PERFORMANCE.md "occ-path TPU fault"), so one monolithic
+        # _evaluate cannot survive. Render one test view per dispatch
+        # (chunked further by APNERF_EVAL_RAY_CHUNK), persist each view
+        # to disk, and skip views already rendered — a crashed eval
+        # worker resumes where it left off, exactly like the train chain.
+        import jax.numpy as jnp
+        import numpy as np
+
+        cfg_m = mapper.cfg
+        oh = max(int(cfg_m.img_h * mapper.eval_scale), 1)
+        ow = max(int(cfg_m.img_w * mapper.eval_scale), 1)
+        rays = mapper._pose7_to_grid_rays(mapper._test_poses, oh, ow)
+        vdir = os.path.join(args.out, f"eval_views_{st['done']}")
+        os.makedirs(vdir, exist_ok=True)
+        bkgd = jnp.ones(3)
+        n_views = rays.origins.shape[0]
+        for v in range(n_views):
+            fp = os.path.join(vdir, f"view_{v:02d}.npz")
+            if os.path.exists(fp):
+                continue
+            out_v = mapper._render_eval(
+                mapper.state.params, mapper.state.occ,
+                rays.origins[v : v + 1], rays.viewdirs[v : v + 1], bkgd,
+            )
+            arrs = {
+                k: np.asarray(out_v[k])[:, 0]
+                for k in ("rgb", "depth", "opacity", "sem")
+            }
+            tmp = fp + ".tmp.npz"
+            np.savez(tmp, **arrs)
+            os.replace(tmp, fp)
+            print(f"   eval view {v + 1}/{n_views} done", flush=True)
+        views = [
+            np.load(os.path.join(vdir, f"view_{v:02d}.npz"))
+            for v in range(n_views)
+        ]
+        out = {
+            k: np.stack([vw[k] for vw in views], axis=1)
+            for k in ("rgb", "depth", "opacity", "sem")
+        }
+        mapper._evaluate_finish(out, -1, oh, ow)
         _, p, dmse, ce = mapper.errors_hist[-1]
         _, lp, mi = mapper.metrics_ext_hist[-1]
         _write_json(os.path.join(args.out, "metrics.json"), dict(

@@ -7,6 +7,13 @@ set -u
 cd /root/repo
 OUT=${2:-/root/repo/runs/h2h_chain_fake}
 SCENE=${1:-fake}
+# Resumable per-view eval with small-program dispatches: the monolithic
+# 16-view occ eval program both OOM-kills the remote compile helper and
+# exceeds the per-process hash-gather crash budget (~4x). See
+# active/mapper.py _build_ensemble_renderer and quality_headtohead.py
+# worker eval.
+export APNERF_EVAL_SPLIT=1
+export APNERF_EVAL_RAY_CHUNK=3200
 for M in 200 500 1000 2000; do
   echo "=== milestone $M (scene=$SCENE) $(date -u +%H:%M:%S) ==="
   python -u scripts/quality_headtohead.py --chain 150 --steps 2000 \

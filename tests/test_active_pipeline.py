@@ -87,6 +87,36 @@ def test_training_reduces_loss_and_evaluates(mapper):
     assert np.isfinite(ps) and np.isfinite(depth_err) and np.isfinite(sem_ce)
 
 
+def test_eval_split_renderer_parity(mapper, monkeypatch):
+    """APNERF_EVAL_SPLIT=1 (one jitted view per dispatch — the fallback
+    for the remote compile helper OOM-killing the all-views occ eval
+    program) must produce the exact same outputs as the all-views
+    program."""
+    import jax.numpy as jnp
+
+    poses = mapper._test_poses
+    oh = ow = 12
+    rays = mapper._pose7_to_grid_rays(poses, oh, ow)
+    bkgd = jnp.ones(3)
+    base = mapper._render_eval(
+        mapper.state.params, mapper.state.occ,
+        rays.origins, rays.viewdirs, bkgd,
+    )
+    monkeypatch.setenv("APNERF_EVAL_SPLIT", "1")
+    split_render = mapper._build_ensemble_renderer(
+        mapper.cfg.max_samples_test, with_variance=False
+    )
+    split = split_render(
+        mapper.state.params, mapper.state.occ,
+        rays.origins, rays.viewdirs, bkgd,
+    )
+    for k in ("rgb", "depth", "opacity", "sem"):
+        np.testing.assert_allclose(
+            np.asarray(split[k]), np.asarray(base[k]), rtol=1e-6, atol=1e-6
+        )
+    assert split["n_samples"].shape == base["n_samples"].shape
+
+
 def test_uncertainty_scoring(mapper):
     traj = np.tile(
         np.array([-2.0, 1.5, -2.0, 0, 0, 0, 1.0]), (40, 1)
