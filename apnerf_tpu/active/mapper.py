@@ -193,7 +193,16 @@ class ActiveNeRFMapper:
         # update — while every hash-free program runs 25-step chunks
         # cleanly. The cap is a workaround for the hash gather/scatter
         # fault, not a traversal property.
-        cap = 25 if self.use_prop else 5
+        # Flagship chunk default 100 (r5): at 25 the ~30 ms per-call
+        # readback floor plus the ~40 ms per-chunk occ update cost
+        # ~1.9 ms/step against an 8.3 ms device step; 100-step chunks
+        # measured 3.03x vs 2.88x same-sitting (scripts/r5_batch_a.sh;
+        # 250 was parity with 100). Occ-EMA cadence moves with the chunk
+        # (~100 steps — planner-only consumer, see make_flagship_occ_update).
+        cap = (
+            int(os.environ.get("APNERF_CHUNK", "100"))
+            if self.use_prop else 5
+        )
         self.steps_per_call = min(cap, max(cfg.training_steps, 1))
 
         aabb = np.asarray(cfg.aabb)

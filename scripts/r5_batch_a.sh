@@ -17,6 +17,12 @@ echo "=== bench PROP_REUSE=1 rerun ($(date -u +%H:%M:%S)) ==="
 APNERF_PROP_REUSE=1 timeout 900 python -u bench.py
 echo "=== bench default #2 ($(date -u +%H:%M:%S)) ==="
 timeout 900 python -u bench.py
+echo "=== bench chunk=100 ($(date -u +%H:%M:%S)) ==="
+BENCH_STEPS_PER_CALL=100 timeout 900 python -u bench.py
+echo "=== bench chunk=250 ($(date -u +%H:%M:%S)) ==="
+BENCH_STEPS_PER_CALL=250 BENCH_N_CALLS=2 timeout 900 python -u bench.py
+echo "=== bench chunk=100 + PROP_REUSE ($(date -u +%H:%M:%S)) ==="
+BENCH_STEPS_PER_CALL=100 APNERF_PROP_REUSE=1 timeout 900 python -u bench.py
 echo "=== shardmap_onchip ($(date -u +%H:%M:%S)) ==="
 timeout 1800 python -u scripts/shardmap_onchip.py
 echo "=== batch A done ($(date -u +%H:%M:%S)) ==="

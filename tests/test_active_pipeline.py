@@ -398,7 +398,11 @@ def test_final_refit_divergence_guard(mapper):
         # the refit completed all 100 steps, params are finite
         assert len(losses) == 100
         assert max(losses) < 10.0
-        assert calls["n"] >= 5  # 2 good + 1 exploded + redo + rest
+        # full coverage + at least one redo of the exploded chunk
+        # (chunk count derives from steps_per_call — r5 default 100,
+        # capped by the tiny cfg's training_steps)
+        min_calls = -(-100 // mapper.steps_per_call) + 1
+        assert calls["n"] >= min_calls
         leaf = jax.tree_util.tree_leaves(mapper.state.params)[0]
         assert bool(jnp.isfinite(leaf).all())
     finally:
