@@ -15,6 +15,10 @@ SCENE=${1:-fake}
 export APNERF_EVAL_SPLIT=1
 export APNERF_EVAL_RAY_CHUNK=3200
 for M in 200 500 1000 2000; do
+  if [ -f "$OUT/metrics_${M}.json" ]; then
+    echo "=== milestone $M already scored; skipping ==="
+    continue
+  fi
   echo "=== milestone $M (scene=$SCENE) $(date -u +%H:%M:%S) ==="
   python -u scripts/quality_headtohead.py --chain 150 --steps 2000 \
     --img 640 --scene "$SCENE" --until "$M" --paths ngp+occ --out "$OUT"
