@@ -34,7 +34,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_and_run(ablate: str, steps: int) -> None:
+def build_and_run(ablate: str, steps: int, calls: int = 2) -> None:
     import jax
     import jax.flatten_util
     import jax.numpy as jnp
@@ -203,19 +203,29 @@ def build_and_run(ablate: str, steps: int) -> None:
     import time
 
     step0 = jnp.asarray(1000)
-    for call in range(2):
+    best_sps = 0.0
+    for call in range(calls):
         keys = jax.random.split(jax.random.PRNGKey(10 + call), steps)
         t0 = time.perf_counter()
         params, opt_state, occ, losses = phase(
             params, opt_state, occ, step0, keys
         )
         v = float(jnp.sum(losses))
+        dt = time.perf_counter() - t0
+        sps = steps * E * R * S / dt
+        if call > 0:  # call 0 pays the compile
+            best_sps = max(best_sps, sps)
         print(
-            f"  call {call}: {time.perf_counter() - t0:.1f}s "
-            f"loss_sum={v:.3f}", flush=True,
+            f"  call {call}: {dt:.1f}s loss_sum={v:.3f} "
+            f"({sps:.3e} samples/s)", flush=True,
         )
         assert np.isfinite(v)
         step0 = step0 + steps
+    if calls > 2:
+        # bench mode: best warm call (chain-worker bursts can contaminate
+        # individual calls; the max is the uncontended reading)
+        print(f"BENCH ablate={ablate} steps={steps} "
+              f"best_warm={best_sps:.3e} samples/s", flush=True)
     print(f"OK ablate={ablate} steps={steps}", flush=True)
 
 
@@ -223,6 +233,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", default=None)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--calls", type=int, default=2)
     ap.add_argument(
         "--sweep", default="full:5,full:10,full:25,no_hash:25,no_march:25,"
         "no_compact:25,no_occupdate:25"
@@ -230,7 +241,7 @@ def main():
     args = ap.parse_args()
 
     if args.one:
-        build_and_run(args.one, args.steps)
+        build_and_run(args.one, args.steps, args.calls)
         return
 
     results = {}
